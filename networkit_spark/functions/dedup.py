@@ -1,0 +1,177 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Hash-parity design: every hash is derived from ``md5`` (available and
+bit-identical in Spark and DuckDB), truncated to 15 hex chars → a
+non-negative int60 — so the DuckDB oracles reproduce the Spark results
+exactly. ``xxhash64`` would be faster but has no DuckDB twin; at cluster
+scale swap ``_h`` for xxhash64 (one line) since the oracle only matters in
+this sandbox.
+
+Scale shapes:
+  - exact dedup: one hash aggregation, map-side combined.
+  - MinHash LSH: explode distinct tokens (shuffle ~corpus token count),
+    k minhashes in one aggregation, band keys → self-join only within
+    band buckets (the candidate-pair join never touches non-colliding
+    docs). Classic shingle→minhash→band→bucket-join.
+  - SimHash: explode tokens, per-bit popcount signs in one aggregation.
+  - n-gram Jaccard verification: token-set join on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.functions.text import tokens
+
+
+def _h(col, salt: int):
+    """Deterministic int60 hash of a string column (md5-based; DuckDB
+    twin: CAST(('0x' || substring(md5(salt || ':' || x), 1, 15)) AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(sha, n_docs, keep_id): one row per duplicate-group (n_docs >= 2);
+    keep_id = smallest doc id of the group (the canonical survivor)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """(id, tok) exploded token table; distinct per doc by default (set
+    semantics for minhash/jaccard)."""
+    t = docs.select(F.col(id_col).alias("id"),
+                    F.explode(tokens(text_col)).alias("tok"))
+    return t.distinct() if distinct else t
+
+
+def minhashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, mh0..mh{k-1}): k MinHash signatures over the distinct-token
+    set — one explode + one aggregation computing all k mins."""
+    dt = doc_tokens(docs, id_col, text_col)
+    aggs = [F.min(_h(F.col("tok"), i)).alias(f"mh{i}") for i in range(k)]
+    return dt.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(a, b) candidate near-duplicate pairs (a < b): docs sharing at least
+    one LSH band (band = r = k/bands consecutive minhashes)."""
+    assert k % bands == 0
+    r = k // bands
+    mh = minhashes(docs, k, id_col, text_col)
+    band_rows = None
+    for bidx in range(bands):
+        key = F.concat_ws(
+            "_", F.lit(bidx), *[F.col(f"mh{bidx * r + j}").cast("string")
+                                for j in range(r)]
+        )
+        rows = mh.select("id", key.alias("band"))
+        band_rows = rows if band_rows is None else band_rows.unionByName(rows)
+    a = band_rows.alias("x")
+    b = band_rows.alias("y")
+    return (
+        a.join(b, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame | None = None,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  threshold: float = 0.0) -> DataFrame:
+    """(a, b, jaccard): exact token-set Jaccard; if ``pairs`` given, verify
+    only those candidates (the LSH fast path), else all co-token pairs."""
+    dt = doc_tokens(docs, id_col, text_col)
+    sizes = dt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    x = dt.alias("x")
+    y = dt.alias("y")
+    inter = (
+        x.join(y, (F.col("x.tok") == F.col("y.tok"))
+               & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["a", "b"], "inner")
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .select(
+            "a", "b",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+             ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def char_ngrams(col, n: int = 3):
+    """Character n-gram shingles of the raw text (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    # sequence(1, x) counts DOWN for x < 1 — guard short strings
+    return F.when(F.length(c) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.5) -> DataFrame:
+    """(a, b, jaccard) over distinct character n-gram shingles — the
+    n-gram variant of near-dup detection."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("tok"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        x.join(y, (F.col("x.tok") == F.col("y.tok"))
+               & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .select("a", "b",
+                (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+                 ).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(id, simhash): per-bit majority vote over token hashes — documents
+    with small Hamming distance are near-duplicates. Token multiset
+    (occurrences weight the vote)."""
+    dt = doc_tokens(docs, id_col, text_col, distinct=False)
+    h = _h(F.col("tok"), 999)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = dt.groupBy("id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return agg.select("id", sig.cast("long").alias("simhash"))

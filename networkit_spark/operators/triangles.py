@@ -1,0 +1,164 @@
+"""Triangle counting via degree-ordered wedge join, plus clustering
+coefficients.
+
+Reference semantics:
+  - Orientation rule (/root/reference/networkit/cpp/edgescores/
+    TriangleEdgeScore.cpp:24-26): edge u→v is an "out edge" iff
+    deg(u)>deg(v), ties broken by id. We orient LOW→HIGH by (deg, id)
+    (the mirror image, as SURVEY.md §2.4 notes) so each undirected edge
+    appears exactly once and out-degree in the oriented graph is bounded
+    by O(√(2m)) — the classical bound that keeps the wedge self-join from
+    exploding on power-law graphs.
+  - Each triangle {u,v,w} is counted once as an oriented wedge
+    (u→v, u→w), v<w in the orientation order, closed by oriented edge
+    v→w; per-node counts attribute 1 to each corner, matching
+    TriangleEdgeScore.cpp:61-103 (one find per corner).
+  - LCC (/root/reference/networkit/cpp/centrality/
+    LocalClusteringCoefficient.cpp:14,47-83):
+    c(u) = 2·tri(u)/(deg(u)(deg(u)-1)), 0 if deg<2; self-loops excluded.
+  - Global CC (/root/reference/networkit/cpp/global/
+    ClusteringCoefficient.cpp:168-218): Σ 2·tri(u) / Σ deg(u)(deg(u)-1).
+  - Algebraic identity tri = diag(A³)/2 validates the counts
+    (/root/reference/networkit/cpp/algebraic/algorithms/
+    AlgebraicTriangleCounting.h:63-70).
+
+All plans are joins + hash aggregations — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _distinct_edges(g: Graph) -> DataFrame:
+    """Canonical undirected simple edges (lo, hi), self-loops dropped —
+    triangle counting treats the graph as simple undirected."""
+    return (
+        g.edges.filter("src != dst")
+        .select(F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi"))
+        .distinct()
+    )
+
+
+def _oriented(g: Graph) -> DataFrame:
+    """Each undirected edge once, oriented low→high by (degree, id)."""
+    e = _distinct_edges(g)
+    deg = (
+        e.select(F.col("lo").alias("id")).union(e.select(F.col("hi").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        e.join(deg.withColumnRenamed("id", "lo").withColumnRenamed("deg", "deg_lo"), "lo")
+        .join(deg.withColumnRenamed("id", "hi").withColumnRenamed("deg", "deg_hi"), "hi")
+    )
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    return e.select(
+        F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+        F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        F.when(lo_first, F.col("deg_hi")).otherwise(F.col("deg_lo")).alias("deg_dst"),
+    )
+
+
+def triangle_list(g: Graph) -> DataFrame:
+    """(a, b, c) — one row per triangle. a is the (deg,id)-smallest corner;
+    b before c in (deg, id) orientation order."""
+    o = _oriented(g).persist()
+    e1 = o.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                  F.col("deg_dst").alias("dv"))
+    e2 = o.select(F.col("src").alias("u"), F.col("dst").alias("w"),
+                  F.col("deg_dst").alias("dw"))
+    # wedge (u→v, u→w) with v before w in (deg, id) order
+    wedges = e1.join(e2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closer = o.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closer, ["v", "w"]).select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    )
+    return tris
+
+
+def triangle_counts(g: Graph) -> DataFrame:
+    """(id, triangles) for every vertex (0 for triangle-free ones)."""
+    tris = triangle_list(g)
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .union(tris.select(F.col("b").alias("id")))
+        .union(tris.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        g.vertices.join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def triangle_edge_scores(g: Graph) -> DataFrame:
+    """(lo, hi, triangles) per undirected edge — TriangleEdgeScore."""
+    tris = triangle_list(g)
+    pairs = (
+        tris.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(tris.select(F.col("a").alias("x"), F.col("c").alias("y")))
+        .union(tris.select(F.col("b").alias("x"), F.col("c").alias("y")))
+    )
+    canon = pairs.select(F.least("x", "y").alias("lo"), F.greatest("x", "y").alias("hi"))
+    counts = canon.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("triangles"))
+    return (
+        _distinct_edges(g).join(counts, ["lo", "hi"], "left")
+        .select("lo", "hi", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def global_triangle_count(g: Graph) -> int:
+    return triangle_list(g).count()
+
+
+def local_clustering_coefficients(g: Graph, counts: DataFrame | None = None) -> DataFrame:
+    """(id, lcc) — c(u) = 2·tri(u)/(deg(u)(deg(u)-1)), 0 if deg<2."""
+    e = _distinct_edges(g)
+    deg = (
+        e.select(F.col("lo").alias("id")).union(e.select(F.col("hi").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    if counts is None:
+        counts = triangle_counts(g)
+    return (
+        counts.join(deg, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1.0)),
+            ).otherwise(F.lit(0.0)).alias("lcc"),
+        )
+    )
+
+
+def global_clustering_coefficient(g: Graph) -> float:
+    """exactGlobal: Σ 2·tri(u) / Σ deg(u)(deg(u)-1)."""
+    e = _distinct_edges(g)
+    deg = (
+        e.select(F.col("lo").alias("id")).union(e.select(F.col("hi").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(g)
+    row = (
+        tri.join(deg, "id", "left")
+        .agg(
+            F.sum(2.0 * F.col("triangles")).alias("num"),
+            F.sum(F.coalesce(F.col("deg") * (F.col("deg") - 1.0), F.lit(0.0))).alias("den"),
+        )
+        .collect()[0]
+    )
+    den = float(row["den"] or 0.0)
+    return (float(row["num"] or 0.0) / den) if den > 0 else 0.0
+
+
+def avg_local_clustering_coefficient(g: Graph) -> float:
+    row = local_clustering_coefficients(g).agg(F.avg("lcc")).collect()[0]
+    return float(row[0] or 0.0)

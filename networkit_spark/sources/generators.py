@@ -1,0 +1,197 @@
+"""Deterministic synthetic graph generators (FIXTURES.md §1, §2.6, §4).
+
+``rmat_edges`` reimplements the recursive-quadrant R-MAT sampler (cf. the
+reference's /root/reference/networkit/cpp/generators/RmatGenerator.cpp —
+same recursion, different execution): for edge i and recursion level j the
+quadrant is chosen by a uniform draw. We derive that draw from
+``xxhash64(i, j, seed)`` — a counter-based RNG — so edge i's value is a
+pure function of (i, j, seed): fully deterministic, partition-independent,
+and expressible as built-in column expressions (whole-stage codegen, no
+Python in the loop). ``spark.range(m)`` scales to any m with no shuffle.
+
+``render_repos`` renders an edge skeleton *backwards* into a synthetic
+source-code corpus of the BASELINE.json ``input_hint`` shape
+``(repo, path, commit, lang, content)``: file i's content contains one
+lang-appropriate import line per out-neighbor j, so the edge graph derived
+by :mod:`networkit_spark.sources.repos` equals the skeleton exactly.
+
+Small fixture generators (Erdős–Rényi, planted partition à la the
+reference's ClusteredRandomGraphGenerator) are seeded numpy on the driver —
+they exist to make test inputs, not to scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MAX_INT63 = (1 << 63) - 1
+
+LANGS = ["py", "js", "java", "go", "c"]
+
+# per-lang import-line template rendered by render_repos; the matching
+# extraction regexes live in networkit_spark.sources.repos
+_IMPORT_TEMplates = {
+    "py": ("import ", ""),
+    "js": ("const m = require('", "');"),
+    "java": ("import ", ";"),
+    "go": ('import "', '"'),
+    "c": ('#include "', '.h"'),
+}
+
+
+def _u01(*cols):
+    """Deterministic uniform [0,1) from column values via xxhash64."""
+    h = F.xxhash64(*cols)
+    # map int64 -> [0,1): shift to [0, 2^64) then scale
+    return (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
+
+
+def rmat_edges(
+    spark: SparkSession,
+    scale: int,
+    edge_factor: int = 8,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    d: float = 0.05,
+    seed: int = 42,
+    deduplicate: bool = True,
+) -> DataFrame:
+    """R-MAT graph over n=2^scale vertices, m=n*edge_factor sampled edges.
+
+    Returns (src: long, dst: long). Self-loops kept (callers filter);
+    duplicates dropped by default (R-MAT resamples collide on purpose).
+    """
+    n = 1 << scale
+    m = n * edge_factor
+    df = spark.range(m).select(F.col("id").alias("i"))
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for j in range(scale):
+        u = _u01(F.col("i"), F.lit(j), F.lit(seed))
+        src_bit = (u >= F.lit(a + b)).cast("long")  # quadrants c,d -> lower half of src? no: rows
+        dst_bit = ((u >= F.lit(a)) & (u < F.lit(a + b)) | (u >= F.lit(a + b + c))).cast("long")
+        src = src + (src_bit * F.lit(1 << j)).cast("long")
+        dst = dst + (dst_bit * F.lit(1 << j)).cast("long")
+    out = df.select(src.alias("src"), dst.alias("dst"))
+    if deduplicate:
+        out = out.distinct()
+    return out
+
+
+def render_repos(
+    edges: DataFrame,
+    n: int,
+    repo: str = "synthorg/linkgraph",
+    seed: int = 42,
+) -> DataFrame:
+    """Render an edge skeleton over files 0..n-1 into a corpus table
+    (repo, path, commit, lang, content) whose derived import graph equals
+    the skeleton exactly. Pure column expressions end-to-end."""
+    spark = edges.sparkSession
+    files = spark.range(n).select(F.col("id").alias("fid"))
+
+    imports = (
+        edges.filter("src != dst")
+        .groupBy(F.col("src").alias("fid"))
+        .agg(F.sort_array(F.collect_set("dst")).alias("deps"))
+    )
+    f = files.join(imports, "fid", "left").select(
+        "fid", F.coalesce("deps", F.array().cast("array<long>")).alias("deps")
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]),
+        (F.pmod(F.xxhash64("fid", F.lit(seed)), F.lit(len(LANGS))) + 1).cast("int"),
+    )
+    f = f.withColumn("lang", lang)
+    path = F.concat(F.lit("src/mod_"), F.col("fid").cast("string"),
+                    F.lit("."), F.col("lang"))
+
+    def line_for(lang_key):
+        pre, post = _IMPORT_TEMplates[lang_key]
+        return F.transform(
+            F.col("deps"),
+            lambda dep: F.concat(F.lit(pre), F.lit("mod_"), dep.cast("string"), F.lit(post)),
+        )
+
+    lines = F.col("deps").cast("array<string>")  # placeholder, replaced below
+    lines = (
+        F.when(F.col("lang") == "py", line_for("py"))
+        .when(F.col("lang") == "js", line_for("js"))
+        .when(F.col("lang") == "java", line_for("java"))
+        .when(F.col("lang") == "go", line_for("go"))
+        .otherwise(line_for("c"))
+    )
+    header = F.concat(F.lit("// module mod_"), F.col("fid").cast("string"))
+    body = F.concat(
+        header, F.lit("\n"),
+        F.concat_ws("\n", lines),
+        F.lit("\n\ndef main():\n    return "), F.col("fid").cast("string"), F.lit("\n"),
+    )
+    commit = F.substring(
+        F.sha2(F.concat(F.lit(repo), path, F.lit(str(seed))), 256), 1, 40
+    )
+    return f.select(
+        F.lit(repo).alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        F.col("lang").alias("lang"),
+        body.alias("content"),
+    )
+
+
+def rmat_repos(spark: SparkSession, scale: int, edge_factor: int = 8,
+               seed: int = 42) -> DataFrame:
+    """Convenience: RMAT skeleton rendered into a repos corpus."""
+    e = rmat_edges(spark, scale, edge_factor, seed=seed)
+    return render_repos(e, 1 << scale, seed=seed)
+
+
+# -- driver-side fixture generators (test scale only) -------------------------
+
+
+def erdos_renyi_edges(n: int, p: float, seed: int = 42, directed: bool = False):
+    """G(n,p) via geometric skip sampling (cf. reference
+    ErdosRenyiGenerator.cpp:25-53 — Batagelj–Brandes). Returns [(u, v)]."""
+    rng = np.random.default_rng(seed)
+    edges = []
+    if directed:
+        total = n * n
+        idx = -1
+        while True:
+            skip = rng.geometric(p)
+            idx += skip
+            if idx >= total:
+                break
+            edges.append((idx // n, idx % n))
+    else:
+        total = n * (n - 1) // 2
+        idx = -1
+        while True:
+            skip = rng.geometric(p)
+            idx += skip
+            if idx >= total:
+                break
+            # unrank upper-triangle index
+            u = int((1 + np.sqrt(1 + 8 * idx)) // 2)
+            v = idx - u * (u - 1) // 2
+            edges.append((int(u), int(v)))
+    return edges
+
+
+def planted_partition_edges(n: int, k: int, p_in: float, p_out: float,
+                            seed: int = 42):
+    """Planted-community fixture (cf. reference
+    ClusteredRandomGraphGenerator.cpp): k equal blocks, dense inside,
+    sparse across. Returns ([(u, v)], ground_truth_labels)."""
+    rng = np.random.default_rng(seed)
+    labels = np.array([i * k // n for i in range(n)])
+    edges = []
+    for u in range(n):
+        for v in range(u + 1, n):
+            p = p_in if labels[u] == labels[v] else p_out
+            if rng.random() < p:
+                edges.append((u, v))
+    return edges, labels
