@@ -1,0 +1,511 @@
+"""DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
+
+Design rules (mirrored in the Spark plans):
+  - float outputs: CAST(ROUND(x, 6) AS DECIMAL(18,6)) — decimal hashing is
+    exact across engines;
+  - hashes: md5-derived int60s (identical in both engines);
+  - iterative kernels: fixed iteration counts — PageRank as a recursive
+    CTE (single self-reference via a 0-coefficient self-loop per vertex so
+    dangling/teleport-only vertices survive the aggregation), LPA unrolled
+    textually, connected components as a reachability closure;
+  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics.
+
+Queries without an oracle (documented rows-only checks): the
+``corpus_*`` pipeline queries — their RMAT generator keys off Spark's
+xxhash64, which DuckDB does not implement; their semantics are
+pytest-verified against NumPy oracles instead (tests/oracles.py).
+"""
+
+from __future__ import annotations
+
+SUPP_OFFSET = 10_000_000
+
+# ---------------------------------------------------------------------------
+# shared CTE fragments
+# ---------------------------------------------------------------------------
+
+CS = f"""
+cs_edges AS (
+  SELECT o_custkey AS src, l_suppkey + {SUPP_OFFSET} AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+cs_verts AS (
+  SELECT c_custkey AS id FROM customer
+  UNION
+  SELECT s_suppkey + {SUPP_OFFSET} AS id FROM supplier
+)
+"""
+
+PP = """
+pp_edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+pp_verts AS (SELECT p_partkey AS id FROM part),
+pp_sym AS (
+  SELECT src, dst FROM pp_edges UNION ALL SELECT dst AS src, src AS dst FROM pp_edges
+)
+"""
+
+TOKS = r"""
+dt AS (
+  SELECT DISTINCT doc_id AS id,
+         UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+  FROM documents WHERE TRIM(text) <> ''
+)
+"""
+
+EMB = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10)
+"""
+
+_H = "CAST(('0x' || SUBSTRING(md5('{salt}:' || tok), 1, 15)) AS BIGINT)"
+
+
+def _h(salt: int) -> str:
+    return _H.format(salt=salt)
+
+
+_COS = ("list_dot_product({a}, {b}) / "
+        "(SQRT(list_dot_product({a}, {a})) * SQRT(list_dot_product({b}, {b})))")
+
+
+def _lpa_unrolled(k: int) -> str:
+    """lab0..lab{k} CTEs implementing synchronous LPA with the
+    (heaviest weight, then smallest label) tie-break on the pp graph."""
+    parts = ["lab0 AS (SELECT id, id AS label FROM pp_verts)"]
+    for i in range(1, k + 1):
+        parts.append(f"""
+w{i} AS (
+  SELECT s.dst AS id, l.label AS label, SUM(1.0) AS w
+  FROM pp_sym s JOIN lab{i-1} l ON l.id = s.src
+  GROUP BY 1, 2
+),
+b{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY w DESC, label ASC) AS rn
+    FROM w{i}
+  ) WHERE rn = 1
+),
+lab{i} AS (
+  SELECT l.id, COALESCE(b.label, l.label) AS label
+  FROM lab{i-1} l LEFT JOIN b{i} b ON b.id = l.id
+)""")
+    return ",\n".join(parts)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = _h(999)
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END"
+                     for j in range(bits))
+    return f"""
+WITH dtm AS (
+  SELECT doc_id AS id,
+         UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+  FROM documents WHERE TRIM(text) <> ''
+),
+votes AS (
+  SELECT id,
+    {votes}
+  FROM dtm GROUP BY id
+)
+SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_MINHASH = f"""
+WITH {TOKS}
+SELECT id,
+       MIN({_h(0)}) AS mh0,
+       MIN({_h(1)}) AS mh1,
+       MIN({_h(2)}) AS mh2,
+       MIN({_h(3)}) AS mh3
+FROM dt GROUP BY id
+"""
+
+_BANDS = f"""
+mh AS ({_MINHASH}),
+bands AS (
+  SELECT id, CONCAT('0_', CAST(mh0 AS VARCHAR), '_', CAST(mh1 AS VARCHAR)) AS band FROM mh
+  UNION ALL
+  SELECT id, CONCAT('1_', CAST(mh2 AS VARCHAR), '_', CAST(mh3 AS VARCHAR)) AS band FROM mh
+),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.id < y.id
+)
+"""
+
+_QUALITY_EXPRS = r"""
+  LENGTH(text) AS n_chars,
+  CASE WHEN TRIM(text) = '' THEN 0
+       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS n_tokens,
+  CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+       ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks,
+  LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+"""
+
+
+def build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    # -- graph ----------------------------------------------------------
+    o["edges_cs"] = f"""
+WITH {CS}
+SELECT src, dst, CAST(weight AS DECIMAL(18,6)) AS weight FROM cs_edges
+"""
+
+    o["degrees_cs"] = f"""
+WITH {CS}
+SELECT v.id, COALESCE(d.c, 0) AS degree
+FROM cs_verts v
+LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM cs_edges GROUP BY 1) d
+  ON d.id = v.id
+"""
+
+    o["wdegrees_cs"] = f"""
+WITH {CS}
+SELECT v.id, CAST(COALESCE(d.w, 0.0) AS DECIMAL(18,6)) AS wdeg
+FROM cs_verts v
+LEFT JOIN (SELECT src AS id, SUM(weight) AS w FROM cs_edges GROUP BY 1) d
+  ON d.id = v.id
+"""
+
+    o["pagerank_cs_k10"] = f"""
+WITH RECURSIVE {CS},
+nn AS (SELECT COUNT(*) AS c FROM cs_verts),
+wdeg AS (SELECT src, SUM(weight) AS wd FROM cs_edges GROUP BY src),
+coef AS (
+  SELECT e.src, e.dst, e.weight / w.wd AS coef
+  FROM cs_edges e JOIN wdeg w ON w.src = e.src
+  UNION ALL
+  SELECT id, id, 0.0 FROM cs_verts
+),
+pr(it, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM cs_verts
+  UNION ALL
+  SELECT p.it + 1, c.dst,
+         0.15 / (SELECT c FROM nn) + 0.85 * SUM(p.rank * c.coef)
+  FROM pr p JOIN coef c ON c.src = p.id
+  WHERE p.it < 10
+  GROUP BY p.it, c.dst
+)
+SELECT id, CAST(ROUND(rank / SUM(rank) OVER (), 6) AS DECIMAL(18,6)) AS rank
+FROM pr WHERE it = 10
+"""
+
+    cc_closure = f"""
+WITH RECURSIVE {PP},
+reach(id, r) AS (
+  SELECT id, id FROM pp_verts
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN pp_sym s ON s.src = reach.id
+),
+cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+"""
+    o["cc_pp"] = cc_closure + "SELECT id, component FROM cc"
+    o["cc_star_pp"] = o["cc_pp"]
+    o["cc_sizes_pp"] = cc_closure + (
+        "SELECT component, COUNT(*) AS size FROM cc GROUP BY 1")
+
+    tri = f"""
+WITH {PP},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM pp_edges e1
+  JOIN pp_edges e2 ON e2.src = e1.dst
+  JOIN pp_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+"""
+    o["triangles_pp"] = tri + """
+, corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT v.id, COALESCE(t.c, 0) AS triangles
+FROM pp_verts v
+LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY 1) t ON t.id = v.id
+"""
+    o["global_triangles_pp"] = tri + "SELECT COUNT(*) AS triangles FROM tri"
+
+    o["lcc_pp"] = tri + """
+, corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY 1),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1)
+SELECT v.id,
+       CAST(ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+                  THEN 2.0 * COALESCE(t.c, 0) / (d.deg * (d.deg - 1.0))
+                  ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS lcc
+FROM pp_verts v
+LEFT JOIN tcnt t ON t.id = v.id
+LEFT JOIN deg d ON d.id = v.id
+"""
+
+    o["lpa_pp_k4"] = f"""
+WITH {PP},
+{_lpa_unrolled(4)}
+SELECT id, label FROM lab4
+"""
+
+    o["modularity_pp_lpa4"] = f"""
+WITH {PP},
+{_lpa_unrolled(4)},
+j AS (
+  SELECT e.src, e.dst, 1.0 AS weight, ls.label AS l_src, ld.label AS l_dst
+  FROM pp_edges e
+  JOIN lab4 ls ON ls.id = e.src
+  JOIN lab4 ld ON ld.id = e.dst
+),
+tot AS (
+  SELECT SUM(weight) AS total,
+         SUM(CASE WHEN l_src = l_dst THEN weight ELSE 0.0 END) AS intra
+  FROM j
+),
+vols AS (
+  SELECT c, SUM(weight) AS vol FROM (
+    SELECT l_src AS c, weight FROM j UNION ALL SELECT l_dst AS c, weight FROM j
+  ) GROUP BY 1
+)
+SELECT CAST(ROUND(
+  t.intra / t.total - (SELECT SUM(POWER(vol / t.total, 2) / 4.0) FROM vols),
+  6) AS DECIMAL(18,6)) AS modularity
+FROM tot t
+"""
+
+    o["supplier_common_customers"] = f"""
+WITH {CS}
+SELECT a.dst AS s1, b.dst AS s2, COUNT(*) AS common
+FROM cs_edges a JOIN cs_edges b ON a.src = b.src AND a.dst < b.dst
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+    o["supplier_jaccard"] = f"""
+WITH {CS},
+deg AS (SELECT dst, COUNT(*) AS deg FROM cs_edges GROUP BY 1),
+common AS (
+  SELECT a.dst AS s1, b.dst AS s2, COUNT(*) AS common
+  FROM cs_edges a JOIN cs_edges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT c.s1, c.s2,
+       CAST(ROUND(c.common / (d1.deg + d2.deg - c.common), 6)
+            AS DECIMAL(18,6)) AS jaccard
+FROM common c
+JOIN deg d1 ON d1.dst = c.s1
+JOIN deg d2 ON d2.dst = c.s2
+"""
+
+    o["supplier_adamic_adar"] = f"""
+WITH {CS},
+cdeg AS (SELECT src, COUNT(*) AS cdeg FROM cs_edges GROUP BY 1),
+wedges AS (
+  SELECT a.src AS c, a.dst AS s1, b.dst AS s2
+  FROM cs_edges a JOIN cs_edges b ON a.src = b.src AND a.dst < b.dst
+)
+SELECT s1, s2, CAST(ROUND(SUM(1.0 / LN(d.cdeg)), 6) AS DECIMAL(18,6)) AS aa
+FROM wedges w JOIN cdeg d ON d.src = w.c
+WHERE d.cdeg >= 2
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+    o["coarsen_cs_by_nation"] = f"""
+WITH {CS}
+SELECT CAST(c.c_nationkey AS BIGINT) AS nation, e.dst AS supplier,
+       CAST(SUM(e.weight) AS DECIMAL(18,6)) AS weight
+FROM cs_edges e JOIN customer c ON c.c_custkey = e.src
+GROUP BY 1, 2
+"""
+
+    o["assortativity_pp"] = f"""
+WITH {PP},
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1)
+SELECT CAST(ROUND(corr(d1.deg, d2.deg), 6) AS DECIMAL(18,6)) AS assortativity
+FROM pp_sym s
+JOIN deg d1 ON d1.id = s.src
+JOIN deg d2 ON d2.id = s.dst
+"""
+
+    # -- text / dedup ----------------------------------------------------
+    o["docs_token_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, {_QUALITY_EXPRS}
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_chars, n_tokens, n_punct,
+    LEN(LIST_FILTER(toks,
+        t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop,
+    CASE WHEN n_tokens > 0
+         THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS avg_token_len,
+    CASE WHEN n_tokens > 0 THEN LEN(LIST_FILTER(toks,
+        t -> t IN ('the','a','and','of','to','in','is'))) / n_tokens
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(ROUND(avg_token_len, 6) AS DECIMAL(18,6)) AS avg_token_len,
+  CAST(ROUND(stop_ratio, 6) AS DECIMAL(18,6)) AS stop_ratio,
+  CAST(ROUND(punct_ratio, 6) AS DECIMAL(18,6)) AS punct_ratio,
+  CAST(ROUND(
+    LEAST(n_tokens / 100.0, 1.0) * 0.4
+    + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END
+    + LEAST(stop_ratio * 5.0, 1.0) * 0.2
+    + CASE WHEN punct_ratio < 0.1 THEN 0.1 ELSE 0.0 END,
+  6) AS DECIMAL(18,6)) AS quality
+FROM x
+"""
+
+    lang_lists = {
+        "de": "('der','die','das','und','ist','nicht')",
+        "en": "('the','and','of','to','is','in')",
+        "es": "('el','los','las','y','es','que')",
+        "fr": "('le','les','et','est','dans','que')",
+    }
+    scores = ",\n  ".join(
+        f"LEN(LIST_FILTER(toks, t -> t IN {lst})) AS s_{lang}"
+        for lang, lst in lang_lists.items()
+    )
+    o["docs_language_id"] = rf"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(TRIM(text), '\s+') END AS toks
+  FROM documents
+),
+sc AS (
+  SELECT doc_id,
+  {scores}
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM sc
+"""
+
+    o["docs_fingerprint"] = r"""
+SELECT doc_id,
+  md5(TRIM(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9\s]', '', 'g'),
+                          '\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+    o["docs_bpe_tokens"] = r"""
+SELECT doc_id,
+  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+    o["docs_exact_dups"] = """
+SELECT md5(text) AS sha, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+    o["docs_minhash"] = _MINHASH
+
+    o["docs_lsh_pairs"] = f"WITH {_BANDS} SELECT a, b FROM cand"
+
+    o["docs_simhash"] = _simhash_sql(16)
+
+    o["docs_lsh_jaccard"] = f"""
+WITH {_BANDS},
+dt2 AS (
+  SELECT DISTINCT doc_id AS id,
+         UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
+  FROM documents WHERE TRIM(text) <> ''
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM dt2 GROUP BY 1),
+inter AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS inter
+  FROM dt2 x JOIN dt2 y ON x.tok = y.tok AND x.id < y.id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.a, i.b, i.inter FROM inter i JOIN cand c ON c.a = i.a AND c.b = i.b
+)
+SELECT v.a, v.b,
+  CAST(ROUND(v.inter / (sa.sz + sb.sz - v.inter), 6) AS DECIMAL(18,6)) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.id = v.a
+JOIN sizes sb ON sb.id = v.b
+"""
+
+    # -- embeddings ------------------------------------------------------
+    cos_qc = _COS.format(a="q.v", b="c.v")
+    o["ann_cosine_top5"] = f"""
+WITH {EMB},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_qc} AS cos
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS cos, rnk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+    o["ann_ivf_top3"] = f"""
+WITH {EMB},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_qc} AS cos
+  FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS cos, rnk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+"""
+
+    o["embedding_centroids"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+dims AS (SELECT UNNEST(RANGE(1, 65)) AS dim)
+SELECT CAST(e.label AS BIGINT) AS label, d.dim,
+       CAST(ROUND(AVG(e.v[d.dim]), 6) AS DECIMAL(18,6)) AS centroid
+FROM e CROSS JOIN dims d
+GROUP BY 1, 2
+"""
+
+    # -- events ----------------------------------------------------------
+    o["events_hourly"] = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_start,
+       event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(value), 6) AS DECIMAL(18,6)) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    o["events_type_stats"] = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(ROUND(AVG(value), 6) AS DECIMAL(18,6)) AS avg_value,
+       COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY 1
+"""
+
+    o["events_top_users"] = """
+SELECT user_id, COUNT(*) AS n
+FROM events GROUP BY 1
+ORDER BY n DESC, user_id ASC LIMIT 20
+"""
+
+    # corpus_* queries: rows-only (no SQL twin — see module docstring)
+    return o

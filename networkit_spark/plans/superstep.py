@@ -59,10 +59,19 @@ class SuperstepRunner:
         resume: bool = True,
         retain: int | None = None,
         ephemeral: bool = False,
+        checkpoint_interval: int | None = None,
     ):
         """``ephemeral=True`` puts state in a throwaway temp dir (unit
         tests / anonymous runs); ``retain=k`` keeps only the latest k
-        iteration checkpoints (production space bound)."""
+        iteration checkpoints (production space bound).
+
+        ``checkpoint_interval`` (default env NKS_CKPT_INTERVAL or 1):
+        durable parquet checkpoints every k-th superstep; in between the
+        state is persist()-ed only (convergence metrics + per-partition
+        lineage are still recorded EVERY superstep). Resume restarts from
+        the last durable iteration and deterministically replays at most
+        k-1 supersteps. Intervals > 1 trade resume granularity for wall
+        time on overhead-bound (small-state) workloads."""
         self.spark = spark
         self.job_id = job_id
         if ephemeral:
@@ -73,6 +82,9 @@ class SuperstepRunner:
         self.resume = resume
         self.retain = retain
         self.ephemeral = ephemeral
+        if checkpoint_interval is None:
+            checkpoint_interval = int(os.environ.get("NKS_CKPT_INTERVAL", "1"))
+        self.checkpoint_interval = max(1, checkpoint_interval)
         self.history: list[dict] = []
         self.resumed_from: int | None = None
 
@@ -173,19 +185,30 @@ class SuperstepRunner:
             state = self._checkpoint(init_fn(), -1)
 
         k = start_k
+        last_ckpt = None
         while k < max_iter:
             t0 = time.monotonic()
-            new_state = self._checkpoint(step_fn(state, k), k)
+            durable = (k + 1) % self.checkpoint_interval == 0
+            if durable:
+                new_state = self._checkpoint(step_fn(state, k), k)
+                last_ckpt = k
+            else:
+                new_state = step_fn(state, k).persist()
             metrics = self._measure(new_state, k)
             metrics["wall_ms"] = int((time.monotonic() - t0) * 1000)
             self._append_jsonl("metrics.jsonl",
                                [{"job_id": self.job_id, "iter": k, **metrics}])
             self._gc(k)
+            state.unpersist()
             state = new_state
             self.history.append({"job_id": self.job_id, "iter": k, **metrics})
             if stop_fn(metrics, k):
                 break
             k += 1
+
+        # make the final state durable so resume sees the converged result
+        if last_ckpt != min(k, max_iter - 1) and not self.ephemeral:
+            state = self._checkpoint(state, min(k, max_iter - 1))
 
         return self._finish(state, finalize_fn)
 

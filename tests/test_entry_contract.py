@@ -1,0 +1,52 @@
+"""Driver-contract sanity: entry() smoke + a representative subset of
+queries() vs oracle_sql() through the same comparison the gate harness
+uses (full sweep: scripts/check_gate.py)."""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from scripts.check_gate import TABLES, normalize
+
+SF = "/root/testdata/sf0.001"
+
+SUBSET = [
+    "edges_cs", "pagerank_cs_k10", "triangles_pp", "lpa_pp_k4",
+    "docs_minhash", "docs_simhash", "ann_cosine_top5", "events_hourly",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_queries_and_oracles_consistent():
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every oracle-less query is a documented rows-only corpus query
+    assert all(k.startswith("corpus_") for k in set(qs) - set(os_))
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, name):
+    sdf = normalize(entry.queries()[name](spark, SF).toPandas())
+    odf = normalize(duck.execute(entry.oracle_sql()[name]).df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf)
+    assert sdf.equals(odf)
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    rows = df.limit(5).collect()
+    assert df.columns == ["id", "rank"]
+    assert len(rows) > 0
