@@ -216,6 +216,59 @@ def q_assortativity_pp(spark, sf_dir):
         _r6(F.col("assortativity")).alias("assortativity"))
 
 
+def q_bfs_cs_d6(spark, sf_dir):
+    """BFS (≤6 hops) over the undirected cs graph from the smallest
+    customer id; unreachable -> NULL."""
+    from networkit_spark.operators.distances import bfs
+    src = TG.load(spark, sf_dir, "customer").agg(
+        F.min("c_custkey")).collect()[0][0]
+    g = TG.graph_customer_supplier(spark, sf_dir)
+    und = Graph(g.edges, directed=False, weighted=True,
+                vertices=g.vertices)
+    return bfs(und, source=int(src), max_depth=6)
+
+
+def q_kcore_pp(spark, sf_dir):
+    from networkit_spark.operators.kcore import core_decomposition
+    g = TG.graph_part_part(spark, sf_dir)
+    return core_decomposition(g)
+
+
+def q_nf_pp_h3(spark, sf_dir):
+    from networkit_spark.operators.distances import neighborhood_function
+    g = TG.graph_part_part(spark, sf_dir)
+    return neighborhood_function(g, 3)
+
+
+def q_sparsify_jaccard_pp(spark, sf_dir):
+    from networkit_spark.operators.sparsification import jaccard_edge_scores
+    g = TG.graph_part_part(spark, sf_dir)
+    return (
+        jaccard_edge_scores(g)
+        .filter(F.col("score") >= 0.08)
+        .select("lo", "hi", _r6(F.col("score")).alias("score"))
+    )
+
+
+def q_edge_ids_pp(spark, sf_dir):
+    from networkit_spark.operators.graph_tools import index_edges
+    g = TG.graph_part_part(spark, sf_dir)
+    return index_edges(g).select("src", "dst", "edge_id")
+
+
+def q_compact_lpa_pp(spark, sf_dir):
+    from networkit_spark.operators.graph_tools import compact_partition
+    g = TG.graph_part_part(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iter=4)
+    return compact_partition(labels)
+
+
+def q_missing_links_count_pp(spark, sf_dir):
+    from networkit_spark.operators.graph_tools import missing_links
+    g = TG.graph_part_part(spark, sf_dir)
+    return missing_links(g).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 # ---------------------------------------------------------------------------
 # text / dedup queries
 # ---------------------------------------------------------------------------
@@ -381,6 +434,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_adamic_adar": q_supplier_adamic_adar,
         "coarsen_cs_by_nation": q_coarsen_cs_by_nation,
         "assortativity_pp": q_assortativity_pp,
+        "bfs_cs_d6": q_bfs_cs_d6,
+        "kcore_pp": q_kcore_pp,
+        "nf_pp_h3": q_nf_pp_h3,
+        "sparsify_jaccard_pp": q_sparsify_jaccard_pp,
+        "edge_ids_pp": q_edge_ids_pp,
+        "compact_lpa_pp": q_compact_lpa_pp,
+        "missing_links_count_pp": q_missing_links_count_pp,
         "docs_token_stats": q_docs_token_stats,
         "docs_language_id": q_docs_language_id,
         "docs_fingerprint": q_docs_fingerprint,

@@ -336,6 +336,83 @@ JOIN deg d1 ON d1.id = s.src
 JOIN deg d2 ON d2.id = s.dst
 """
 
+    o["bfs_cs_d6"] = f"""
+WITH RECURSIVE {CS},
+csym AS (
+  SELECT src, dst FROM cs_edges UNION SELECT dst AS src, src AS dst FROM cs_edges
+),
+reach(id, d) AS (
+  SELECT (SELECT MIN(c_custkey) FROM customer), 0
+  UNION
+  SELECT s.dst, r.d + 1 FROM reach r JOIN csym s ON s.src = r.id WHERE r.d < 6
+),
+dmin AS (SELECT id, CAST(MIN(d) AS BIGINT) AS dist FROM reach GROUP BY id)
+SELECT v.id, d.dist FROM cs_verts v LEFT JOIN dmin d ON d.id = v.id
+"""
+
+    o["nf_pp_h3"] = f"""
+WITH RECURSIVE {PP},
+reach(id, other, d) AS (
+  SELECT id, id, 0 FROM pp_verts
+  UNION
+  SELECT r.id, s.dst, r.d + 1
+  FROM reach r JOIN pp_sym s ON s.src = r.other WHERE r.d < 3
+),
+dmin AS (SELECT id, other, MIN(d) AS d FROM reach GROUP BY 1, 2),
+hs AS (SELECT UNNEST(RANGE(1, 4)) AS h)
+SELECT hs.h,
+       CAST(COALESCE(SUM(CASE WHEN dm.d > 0 AND dm.d <= hs.h THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS pairs
+FROM hs LEFT JOIN dmin dm ON TRUE
+GROUP BY hs.h
+"""
+
+    o["sparsify_jaccard_pp"] = tri + """
+, epair AS (
+  SELECT a AS x, b AS y FROM tri
+  UNION ALL SELECT a, c FROM tri
+  UNION ALL SELECT b, c FROM tri
+),
+etri AS (SELECT x, y, COUNT(*) AS t FROM epair GROUP BY 1, 2),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1),
+scored AS (
+  SELECT e.src AS lo, e.dst AS hi,
+         COALESCE(t.t, 0) / (d1.deg + d2.deg - COALESCE(t.t, 0)) AS score
+  FROM pp_edges e
+  LEFT JOIN etri t ON t.x = e.src AND t.y = e.dst
+  JOIN deg d1 ON d1.id = e.src
+  JOIN deg d2 ON d2.id = e.dst
+)
+SELECT lo, hi, CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS score
+FROM scored WHERE score >= 0.08
+"""
+
+    o["edge_ids_pp"] = f"""
+WITH {PP}
+SELECT src, dst,
+       CAST(ROW_NUMBER() OVER (ORDER BY src, dst) - 1 AS BIGINT) AS edge_id
+FROM pp_edges
+"""
+
+    o["compact_lpa_pp"] = f"""
+WITH {PP},
+{_lpa_unrolled(4)}
+SELECT id, CAST(DENSE_RANK() OVER (ORDER BY label) - 1 AS BIGINT) AS label
+FROM lab4
+"""
+
+    o["missing_links_count_pp"] = f"""
+WITH {PP},
+cand AS (
+  SELECT DISTINCT a.src AS u, b.src AS v
+  FROM pp_sym a JOIN pp_sym b ON a.dst = b.dst AND a.src < b.src
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM cand c
+LEFT JOIN pp_edges e ON e.src = c.u AND e.dst = c.v
+WHERE e.src IS NULL
+"""
+
     # -- text / dedup ----------------------------------------------------
     o["docs_token_stats"] = f"""
 WITH base AS (

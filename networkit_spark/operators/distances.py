@@ -1,0 +1,217 @@
+"""Traversals & distances: BFS, weighted SSSP, k-hop neighborhoods,
+effective diameter (SURVEY.md §2.5).
+
+Reference semantics:
+  - BFS (/root/reference/networkit/cpp/distance/BFS.cpp:15-78): unweighted
+    single-source distances; unreachable = infinity (we emit NULL).
+  - Dijkstra (/root/reference/networkit/cpp/distance/Dijkstra.cpp): the
+    heap is inherently sequential; the distributed equivalent with the
+    same fixpoint is Bellman-Ford-style relaxation supersteps (each round
+    relaxes every edge out of the improved frontier).
+  - NeighborhoodFunction / EffectiveDiameterApproximation
+    (/root/reference/networkit/cpp/distance/
+    EffectiveDiameterApproximation.cpp:13-121): ANF/Flajolet-Martin
+    bitmask sketches unioned per hop — the ancestor of HyperLogLog; our
+    scale path uses Spark's native HLL++ sketches (approx_count_distinct
+    semantics) per hop; the exact variant materializes k-hop reachability
+    pairs (test scale / oracle parity).
+
+All iterate under the checkpointed SuperstepRunner: frontier-only joins
+(only improved vertices emit messages — the reference's active-set trick,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.superstep import SuperstepRunner
+
+
+def _out_edges(g: Graph) -> DataFrame:
+    return (g.edges if g.directed else g.symmetrized()).select(
+        "src", "dst", "weight")
+
+
+def bfs(g: Graph, source: int, max_depth: int | None = None,
+        runner: SuperstepRunner | None = None) -> DataFrame:
+    """(id, dist): hop distance from source; unreachable nodes NULL."""
+    spark = g.edges.sparkSession
+    edges = _out_edges(g).select("src", "dst").persist()
+    vertices = g.vertices
+    limit = max_depth if max_depth is not None else 1 << 30
+
+    def init_fn() -> DataFrame:
+        return vertices.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0)).cast("long").alias("dist"),
+        )
+
+    def step_fn(state: DataFrame, k: int) -> DataFrame:
+        cur = state.select("id", "dist")
+        frontier = cur.filter(F.col("dist") == k).select(F.col("id").alias("src"))
+        reached = (
+            edges.join(frontier, "src", "left_semi")
+            .select(F.col("dst").alias("id")).distinct()
+            .withColumn("new_dist", F.lit(k + 1).cast("long"))
+        )
+        return (
+            cur.join(reached, "id", "left")
+            .select(
+                "id",
+                F.coalesce("dist", "new_dist").alias("dist"),
+                (F.col("dist").isNull() & F.col("new_dist").isNotNull())
+                .cast("int").alias("_changed"),
+            )
+        )
+
+    def stop_fn(metrics: dict, k: int) -> bool:
+        return metrics.get("changed", 1) == 0 or k + 1 >= limit
+
+    if runner is None:
+        runner = SuperstepRunner(spark, job_id="bfs-anon", ephemeral=True)
+    out = runner.run(init_fn, step_fn, stop_fn, max_iter=limit)
+    edges.unpersist()
+    return out
+
+
+def sssp(g: Graph, source: int, max_iter: int = 200,
+         runner: SuperstepRunner | None = None) -> DataFrame:
+    """(id, dist): weighted shortest-path distance (Bellman-Ford
+    relaxation supersteps; same fixpoint as the reference's Dijkstra)."""
+    spark = g.edges.sparkSession
+    edges = _out_edges(g).persist()
+    vertices = g.vertices
+
+    def init_fn() -> DataFrame:
+        return vertices.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0.0)).cast("double").alias("dist"),
+        ).withColumn("_improved", (F.col("id") == source).cast("int"))
+
+    def step_fn(state: DataFrame, k: int) -> DataFrame:
+        cur = state.select("id", "dist", "_improved")
+        frontier = cur.filter(F.col("_improved") == 1).select(
+            F.col("id").alias("src"), F.col("dist").alias("fd"))
+        relaxed = (
+            edges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min(F.col("fd") + F.col("weight")).alias("cand"))
+        )
+        return (
+            cur.select("id", "dist").join(relaxed, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("_newdist"),
+                "dist",
+            )
+            .select(
+                "id",
+                F.when(F.col("_newdist") != float("inf"), F.col("_newdist"))
+                .alias("dist"),
+                (F.coalesce("dist", F.lit(float("inf"))) > F.col("_newdist"))
+                .cast("int").alias("_improved"),
+            )
+            .withColumn("_changed", F.col("_improved"))
+        )
+
+    def stop_fn(metrics: dict, k: int) -> bool:
+        return metrics.get("changed", 1) == 0
+
+    if runner is None:
+        runner = SuperstepRunner(spark, job_id="sssp-anon", ephemeral=True)
+    out = runner.run(init_fn, step_fn, stop_fn, max_iter=max_iter)
+    edges.unpersist()
+    return out.select("id", "dist")
+
+
+def k_hop_pairs(g: Graph, max_h: int) -> DataFrame:
+    """(id, other, dist): exact pairwise hop distances up to max_h — the
+    exact neighborhood function substrate (O(n·reach) rows: test scale /
+    oracle parity only; the scale path is hll_neighborhood_function)."""
+    edges = _out_edges(g).select("src", "dst").distinct()
+    cur = g.vertices.select(F.col("id"), F.col("id").alias("other"),
+                            F.lit(0).alias("dist"))
+    all_pairs = cur
+    for h in range(1, max_h + 1):
+        nxt = (
+            all_pairs.withColumnRenamed("other", "src")
+            .join(edges, "src")
+            .select("id", F.col("dst").alias("other"))
+            .distinct()
+            .join(all_pairs.select("id", "other").withColumn("_seen", F.lit(1)),
+                  ["id", "other"], "left_anti")
+            .withColumn("dist", F.lit(h))
+        )
+        nxt = nxt.localCheckpoint(eager=True) if h < max_h else nxt
+        all_pairs = all_pairs.unionByName(nxt)
+    return all_pairs
+
+
+def neighborhood_function(g: Graph, max_h: int) -> DataFrame:
+    """(h, pairs): number of ordered pairs within distance ≤ h (h ≥ 1) —
+    exact NeighborhoodFunction."""
+    pairs = k_hop_pairs(g, max_h)
+    per_h = (
+        pairs.filter("dist > 0")
+        .groupBy("dist").agg(F.count(F.lit(1)).alias("at_h"))
+    )
+    spark = g.edges.sparkSession
+    hs = spark.range(1, max_h + 1).select(F.col("id").alias("h"))
+    return (
+        hs.join(per_h, hs.h >= per_h.dist, "left")
+        .groupBy("h").agg(F.coalesce(F.sum("at_h"), F.lit(0)).alias("pairs"))
+    )
+
+
+def effective_diameter(g: Graph, ratio: float = 0.9, max_h: int = 64,
+                       exact: bool = True) -> float:
+    """Smallest h with NF(h) ≥ ratio · NF(max): EffectiveDiameter
+    semantics (the reference's approximation stops at the same ratio,
+    EffectiveDiameterApproximation.cpp:96-118; integer h, no
+    interpolation)."""
+    nf = neighborhood_function(g, max_h).collect()
+    by_h = sorted((int(r["h"]), int(r["pairs"])) for r in nf)
+    if not by_h:
+        return 0.0
+    total = by_h[-1][1]
+    # stop growing h once NF saturates
+    for h, p in by_h:
+        if p >= ratio * total:
+            return float(h)
+    return float(by_h[-1][0])
+
+
+def hll_neighborhood_function(g: Graph, max_h: int, rsd: float = 0.05) -> DataFrame:
+    """(h, pairs_est): approximate NF via per-hop HLL++ sketch union —
+    Spark-native replacement for the reference's ANF bitmasks. Each hop
+    unions neighbor sketches (hll_union_agg), so cost per hop is one
+    shuffle of fixed-size sketches instead of reachability pairs."""
+    edges = _out_edges(g).select("src", "dst").persist()
+    # per-node singleton sketch of itself
+    prev = g.vertices.groupBy("id").agg(F.hll_sketch_agg("id").alias("sketch"))
+    rows = []
+    for h in range(1, max_h + 1):
+        nbr = (
+            edges.join(prev.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.hll_union_agg("sketch").alias("nsk"))
+        )
+        cur = (
+            prev.join(nbr, "id", "left")
+            .select("id",
+                    F.when(F.col("nsk").isNull(), F.col("sketch"))
+                    .otherwise(F.hll_union("sketch", "nsk")).alias("sketch"))
+        ).persist()
+        est = cur.select(F.sum(F.hll_sketch_estimate("sketch")).alias("p")
+                         ).collect()[0]["p"]
+        rows.append((h, float(est)))
+        prev.unpersist() if h > 1 else None
+        prev = cur
+    edges.unpersist()
+    spark = g.edges.sparkSession
+    return spark.createDataFrame(rows, "h long, pairs_est double")

@@ -1,0 +1,111 @@
+"""Graph set-operations, edge indexing, and partition utilities.
+
+Reference: Graph.append / Graph.merge (pyx Graph rel. 259-279),
+Graph::indexEdges (Graph.cpp:216-262), Partition::compact
+(Partition.h:211), MissingLinksFinder (pyx:8630), workflow profiling
+composites (community.py:48-64, profiling/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from networkit_spark.graph import Graph
+
+
+def append(g1: Graph, g2: Graph) -> Graph:
+    """Disjoint union: g2's node ids shifted past g1's max id
+    (Graph.append semantics)."""
+    max_id = g1.vertices.agg(F.max("id")).collect()[0][0]
+    offset = int(max_id) + 1 if max_id is not None else 0
+    shifted = g2.edges.select(
+        (F.col("src") + offset).alias("src"),
+        (F.col("dst") + offset).alias("dst"), "weight")
+    v2 = g2.vertices.select((F.col("id") + offset).alias("id"))
+    return Graph(g1.edges.unionByName(shifted),
+                 directed=g1.directed, weighted=g1.weighted or g2.weighted,
+                 vertices=g1.vertices.union(v2))
+
+
+def merge(g1: Graph, g2: Graph) -> Graph:
+    """Union on shared ids; duplicate edges collapse (Graph.merge)."""
+    e = g1.edges.unionByName(g2.edges).groupBy("src", "dst").agg(
+        F.max("weight").alias("weight"))
+    return Graph(e, directed=g1.directed, weighted=g1.weighted or g2.weighted,
+                 vertices=g1.vertices.union(g2.vertices))
+
+
+def index_edges(g: Graph) -> DataFrame:
+    """(src, dst, weight, edge_id): stable ids in canonical scan order —
+    one id per undirected edge, assigned on the (lo, hi) orientation
+    (Graph::indexEdges assigns one id per undirected edge on the u>=v
+    side, Graph.cpp:234-243).
+
+    Global row_number = single-partition sort; fine for id assignment
+    (done once); use monotonically_increasing_id when stability across
+    runs is not required."""
+    canon = g.edges.select(
+        "src", "dst", "weight",
+        F.least("src", "dst").alias("_lo"), F.greatest("src", "dst").alias("_hi"))
+    ids = (
+        canon.select("_lo", "_hi").distinct()
+        .withColumn("edge_id",
+                    F.row_number().over(Window.orderBy("_lo", "_hi")) - 1)
+    )
+    return canon.join(ids, ["_lo", "_hi"]).select(
+        "src", "dst", "weight", F.col("edge_id").cast("long").alias("edge_id"))
+
+
+def compact_partition(labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """Partition::compact — relabel to dense 0..k-1 preserving label
+    order."""
+    distinct = labels.select(label_col).distinct()
+    mapping = distinct.withColumn(
+        "_new", (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"))
+    return labels.join(mapping, label_col).select(
+        "id", F.col("_new").alias(label_col))
+
+
+def missing_links(g: Graph, k_hop: int = 2) -> DataFrame:
+    """(u, v) node pairs at distance exactly 2 (non-adjacent pairs with a
+    common neighbor) — MissingLinksFinder's candidate set, the usual
+    link-prediction target. Enumerating ALL non-edges is O(n²); distance-2
+    pairs are the wedge join minus existing edges."""
+    e = g.edges.filter("src != dst").select("src", "dst")
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+                  ).distinct()
+    a, b = sym.alias("a"), sym.alias("b")
+    cand = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst"))
+               & (F.col("a.src") < F.col("b.src")))
+        .select(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .distinct()
+    )
+    existing = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"))
+    return cand.join(existing, ["u", "v"], "left_anti")
+
+
+def profile(g: Graph) -> dict:
+    """One-stop structural profile (the reference's profiling battery,
+    profiling/profiling.py:202-260, reduced to scalars)."""
+    from networkit_spark.operators.components import (
+        connected_components, num_components)
+    from networkit_spark.operators.degrees import out_degrees
+    from networkit_spark.operators.triangles import (
+        global_clustering_coefficient, global_triangle_count)
+
+    deg = out_degrees(g).agg(
+        F.min("degree"), F.max("degree"), F.avg("degree")).collect()[0]
+    return {
+        "n": g.num_vertices(),
+        "m": g.num_edges(),
+        "density": g.density(),
+        "self_loops": g.num_self_loops(),
+        "min_degree": int(deg[0]),
+        "max_degree": int(deg[1]),
+        "avg_degree": float(deg[2]),
+        "components": num_components(connected_components(g)),
+        "triangles": global_triangle_count(g),
+        "global_clustering": global_clustering_coefficient(g),
+    }

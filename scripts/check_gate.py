@@ -91,6 +91,8 @@ def main() -> int:
             status = f"schema mismatch: spark={list(s.columns)} duck={list(d.columns)}"
         elif len(s) != len(d):
             status = f"rowcount mismatch: spark={len(s)} duck={len(d)}"
+        elif len(s) == 0:
+            status = None  # both empty with matching columns
         elif not s.equals(d):
             neq = (s != d) & ~(s.isna() & d.isna())
             bad = neq.any(axis=1)

@@ -1,0 +1,181 @@
+"""Distances, k-core, sparsification, graph utilities — vs Python
+oracles."""
+
+import heapq
+from collections import defaultdict, deque
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.distances import (
+    bfs, effective_diameter, neighborhood_function, sssp,
+)
+from networkit_spark.operators.graph_tools import (
+    append, compact_partition, index_edges, merge, missing_links, profile,
+)
+from networkit_spark.operators.kcore import core_decomposition
+from networkit_spark.operators.sparsification import (
+    global_threshold_filter, jaccard_edge_scores, normalize_scores,
+    sparsify_to_ratio,
+)
+from tests.conftest import CC20_EDGES, CC20_N, K4_EDGES, PR8_EDGES
+
+
+def _bfs_oracle(edges, n, source):
+    adj = defaultdict(set)
+    for e in edges:
+        u, v = int(e[0]), int(e[1])
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def _dijkstra_oracle(edges, source):
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_bfs_karate(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    got = {r["id"]: r["dist"] for r in bfs(g, source=0).collect()}
+    want = _bfs_oracle(edges, n, 0)
+    assert {k: v for k, v in got.items() if v is not None} == want
+
+
+def test_bfs_unreachable_null(spark):
+    g = Graph.from_rows(spark, CC20_EDGES, directed=False, n=CC20_N)
+    got = {r["id"]: r["dist"] for r in bfs(g, source=0).collect()}
+    assert got[19] == 6       # path 0-1-2-4-8-16-19
+    assert got[3] is None     # different component
+    assert got[15] is None    # isolated
+
+
+def test_sssp_weighted(spark):
+    g = Graph.from_rows(spark, PR8_EDGES, directed=False)
+    got = {r["id"]: r["dist"] for r in sssp(g, source=0).collect()}
+    want = _dijkstra_oracle(PR8_EDGES, 0)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v)
+
+
+def test_neighborhood_function_and_effective_diameter(spark):
+    # path graph P4: pairs within h=1: 6, h=2: 10, h=3: 12 (ordered)
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    nf = {r["h"]: r["pairs"] for r in neighborhood_function(g, 3).collect()}
+    assert nf == {1: 6, 2: 10, 3: 12}
+    assert effective_diameter(g, ratio=0.9, max_h=3) == 3.0
+    assert effective_diameter(g, ratio=0.5, max_h=3) == 1.0
+
+
+def _kcore_oracle(edges, n):
+    adj = defaultdict(set)
+    for e in edges:
+        u, v = int(e[0]), int(e[1])
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = {u: len(adj[u]) for u in range(n)}
+    core = {}
+    remaining = set(range(n))
+    level = 0
+    while remaining:
+        changed = True
+        while changed:
+            doomed = [u for u in remaining if deg[u] <= level]
+            changed = bool(doomed)
+            for u in doomed:
+                core[u] = level
+                remaining.discard(u)
+                for v in adj[u]:
+                    if v in remaining:
+                        deg[v] -= 1
+        level += 1
+    return core
+
+
+def test_core_decomposition(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    assert got == _kcore_oracle(edges, n)
+
+
+def test_core_k4_plus_tail(spark):
+    g = Graph.from_rows(spark, K4_EDGES + [(3, 4), (4, 5)], directed=False)
+    got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 1, 5: 1}
+
+
+def test_sparsification(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    scores = jaccard_edge_scores(g)
+    assert scores.count() == 78
+    norm = normalize_scores(scores)
+    mm = norm.agg({"score": "min"}).collect()[0][0], \
+         norm.agg({"score": "max"}).collect()[0][0]
+    assert mm == (0.0, 1.0)
+    half = sparsify_to_ratio(g, scores, ratio=0.5)
+    assert 30 <= half.num_edges() <= 48
+    none_left = global_threshold_filter(g, scores, threshold=2.0)
+    assert none_left.num_edges() == 0
+
+
+def test_graph_append_merge(spark):
+    g1 = Graph.from_rows(spark, [(0, 1)], n=2)
+    g2 = Graph.from_rows(spark, [(0, 1)], n=2)
+    ap = append(g1, g2)
+    assert ap.num_vertices() == 4 and ap.num_edges() == 2
+    assert {(r["src"], r["dst"]) for r in ap.edges.collect()} == {(0, 1), (2, 3)}
+    mg = merge(g1, g2)
+    assert mg.num_edges() == 1 and mg.num_vertices() == 2
+
+
+def test_index_edges_stable(spark):
+    g = Graph.from_rows(spark, [(2, 1, 1.0), (0, 1, 1.0), (1, 2, 1.0)])
+    ids = {(r["src"], r["dst"]): r["edge_id"] for r in index_edges(g).collect()}
+    # canonical order: (0,1) -> 0, (1,2) -> 1 (both orientations same id)
+    assert ids[(0, 1)] == 0 and ids[(1, 2)] == 1 and ids[(2, 1)] == 1
+
+
+def test_compact_partition(spark):
+    labels = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 7), (3, 42)], "id long, label long")
+    out = {r["id"]: r["label"] for r in compact_partition(labels).collect()}
+    assert out == {0: 2, 1: 2, 2: 0, 3: 1}
+
+
+def test_missing_links_distance2(spark):
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    got = {(r["u"], r["v"]) for r in missing_links(g).collect()}
+    assert got == {(0, 2), (1, 3)}
+
+
+def test_profile_k4(spark):
+    p = profile(Graph.from_rows(spark, K4_EDGES, directed=False))
+    assert p["n"] == 4 and p["m"] == 6 and p["triangles"] == 4
+    assert p["components"] == 1 and p["max_degree"] == 3
+    assert p["global_clustering"] == pytest.approx(1.0)

@@ -29,11 +29,14 @@ def duck():
     return con
 
 
+ORACLE_LESS = {"corpus_pagerank_top20", "corpus_components", "kcore_pp"}
+
+
 def test_queries_and_oracles_consistent():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(os_) <= set(qs)
-    # every oracle-less query is a documented rows-only corpus query
-    assert all(k.startswith("corpus_") for k in set(qs) - set(os_))
+    # every oracle-less query is documented (rows-only check)
+    assert set(qs) - set(os_) == ORACLE_LESS
 
 
 @pytest.mark.parametrize("name", SUBSET)
