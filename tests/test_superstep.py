@@ -26,7 +26,10 @@ def test_checkpoint_files_written(spark, tmp_path):
     assert all(m["rows"] == 8 and "wall_ms" in m for m in metrics)
     parts = [json.loads(l) for l in (job_dir / "partitions.jsonl").read_text().splitlines()]
     assert sum(p["rows"] for p in parts if p["iter"] == 2) == 8
-    assert all("fingerprint" in p for p in parts)
+    # manifest-style lineage: one record per written file with rows+bytes
+    assert all("file" in p and p["bytes"] > 0 for p in parts)
+    # global content fingerprint lives in the per-superstep metrics
+    assert all("fingerprint" in m for m in metrics)
 
 
 def test_resume_mid_iteration_identical(spark, tmp_path):
