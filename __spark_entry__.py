@@ -10,8 +10,10 @@ returns a DataFrame.
 
 ``oracle_sql()`` — DuckDB-runnable ANSI SQL twin for each query. Hash
 parity rules used throughout (see networkit_spark.functions docstrings):
-  - every float output is ROUND(x, 6) cast to DECIMAL(18,6) on BOTH sides
-    (decimal hashing is exact; double bit-patterns are not);
+  - every float output is ROUND(x, 6) emitted as DOUBLE on BOTH sides —
+    rounded float64 bit patterns agree across engines, whereas DECIMAL
+    reaches the comparison as Decimal objects on the Spark side but
+    float64 on the DuckDB side and hash-mismatches despite equal values;
   - every hash is md5-derived (identical in Spark and DuckDB);
   - iterative kernels are run for a FIXED iteration count on both sides
     (deterministic trajectories; the convergence-driven variants are the
@@ -42,11 +44,9 @@ from networkit_spark.sources.generators import rmat_repos
 from networkit_spark.sources.repos import graph_from_repos
 from networkit_spark.sources import tpch_graph as TG
 
-DEC = "decimal(18,6)"
-
-
 def _r6(col) -> F.Column:
-    return F.round(col, 6).cast(DEC)
+    """Canonical float output: round to 6 decimals, stay DOUBLE."""
+    return F.round(col.cast("double"), 6)
 
 
 def _docs(spark, sf_dir):
@@ -74,7 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_edges_cs(spark, sf_dir):
     return TG.edges_customer_supplier(spark, sf_dir).select(
-        "src", "dst", F.col("weight").cast(DEC).alias("weight"))
+        "src", "dst", F.col("weight").cast("double").alias("weight"))
 
 
 def q_degrees_cs(spark, sf_dir):
@@ -86,7 +86,7 @@ def q_degrees_cs(spark, sf_dir):
 def q_wdegrees_cs(spark, sf_dir):
     from networkit_spark.operators.degrees import weighted_out_degrees
     g = TG.graph_customer_supplier(spark, sf_dir)
-    return weighted_out_degrees(g).select("id", F.col("wdeg").cast(DEC).alias("wdeg"))
+    return weighted_out_degrees(g).select("id", F.col("wdeg").cast("double").alias("wdeg"))
 
 
 def q_pagerank_cs_k10(spark, sf_dir):
@@ -204,7 +204,7 @@ def q_coarsen_cs_by_nation(spark, sf_dir):
         e.join(cust, "src")
         .groupBy(F.col("nation").cast("long").alias("nation"),
                  F.col("dst").alias("supplier"))
-        .agg(F.sum("weight").cast(DEC).alias("weight"))
+        .agg(F.sum("weight").cast("double").alias("weight"))
     )
 
 
@@ -306,11 +306,17 @@ def q_docs_exact_dups(spark, sf_dir):
 
 
 def q_docs_minhash(spark, sf_dir):
-    return D.minhashes(_docs(spark, sf_dir), k=4)
+    return D.minhashes(_docs(spark, sf_dir), k=8)
 
 
 def q_docs_lsh_pairs(spark, sf_dir):
-    return D.lsh_candidate_pairs(_docs(spark, sf_dir), k=4, bands=2)
+    # 2-word shingles, k=16 signatures in 4 bands of r=4: the
+    # P(candidate) = 1-(1-j^4)^4 S-curve thresholds near j~0.6. Unigram
+    # tokens are useless on this corpus (31-word vocabulary => unigram
+    # sets are ~0.6 Jaccard for RANDOM pairs); shingling restores
+    # discrimination — the classic shingle->minhash->band pipeline.
+    return D.lsh_candidate_pairs(_docs(spark, sf_dir), k=16, bands=4,
+                                 shingle=2)
 
 
 def q_docs_simhash(spark, sf_dir):
@@ -319,8 +325,8 @@ def q_docs_simhash(spark, sf_dir):
 
 def q_docs_lsh_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(docs, k=4, bands=2)
-    return D.jaccard_pairs(docs, pairs=pairs).select(
+    pairs = D.lsh_candidate_pairs(docs, k=16, bands=4, shingle=2)
+    return D.jaccard_pairs(docs, pairs=pairs, shingle=2).select(
         "a", "b", _r6(F.col("jaccard")).alias("jaccard"))
 
 

@@ -1,8 +1,12 @@
 """DuckDB oracle SQL for every entry in ``__spark_entry__.queries()``.
 
 Design rules (mirrored in the Spark plans):
-  - float outputs: CAST(ROUND(x, 6) AS DECIMAL(18,6)) — decimal hashing is
-    exact across engines;
+  - float outputs: ROUND(x, 6) emitted as DOUBLE on BOTH sides — after
+    rounding to 6 decimals the float64 bit patterns agree across engines
+    (DECIMAL types don't: Spark's toPandas yields Decimal objects while
+    DuckDB's .df() converts to float64). The ``+ 0.0`` normalizes IEEE
+    -0.0 to +0.0 (Spark's round goes through BigDecimal, which has no
+    signed zero; DuckDB's does not);
   - hashes: md5-derived int60s (identical in both engines);
   - iterative kernels: fixed iteration counts — PageRank as a recursive
     CTE (single self-reference via a 0-coefficient self-loop per vertex so
@@ -123,28 +127,49 @@ SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes
 """
 
 
-_MINHASH = f"""
-WITH {TOKS}
+TOKS2 = r"""
+dt AS (
+  SELECT DISTINCT id,
+         UNNEST(list_transform(range(1, LEN(arr)),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS tok
+  FROM (SELECT doc_id AS id, regexp_split_to_array(TRIM(text), '\s+') AS arr
+        FROM documents WHERE TRIM(text) <> '')
+)
+"""
+
+
+def _minhash_sql(k: int, toks: str = TOKS) -> str:
+    mins = ",\n       ".join(f"MIN({_h(i)}) AS mh{i}" for i in range(k))
+    return f"""
+WITH {toks}
 SELECT id,
-       MIN({_h(0)}) AS mh0,
-       MIN({_h(1)}) AS mh1,
-       MIN({_h(2)}) AS mh2,
-       MIN({_h(3)}) AS mh3
+       {mins}
 FROM dt GROUP BY id
 """
 
-_BANDS = f"""
-mh AS ({_MINHASH}),
+
+def _bands_sql(k: int, bands: int, toks: str = TOKS) -> str:
+    """mh + bands + cand CTE chain mirroring lsh_candidate_pairs(k, bands):
+    band key = concat_ws('_', band_index, r consecutive minhashes)."""
+    r = k // bands
+    rows = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"CAST(mh{b * r + j} AS VARCHAR)" for j in range(r))
+        rows.append(f"  SELECT id, '{b}_' || {cols} AS band FROM mh")
+    return f"""
+mh AS ({_minhash_sql(k, toks)}),
 bands AS (
-  SELECT id, CONCAT('0_', CAST(mh0 AS VARCHAR), '_', CAST(mh1 AS VARCHAR)) AS band FROM mh
-  UNION ALL
-  SELECT id, CONCAT('1_', CAST(mh2 AS VARCHAR), '_', CAST(mh3 AS VARCHAR)) AS band FROM mh
+{chr(10).join('  UNION ALL' + chr(10) + row if i else row for i, row in enumerate(rows))}
 ),
 cand AS (
   SELECT DISTINCT x.id AS a, y.id AS b
   FROM bands x JOIN bands y ON x.band = y.band AND x.id < y.id
 )
 """
+
+
+_BANDS = _bands_sql(16, 4, TOKS2)
 
 _QUALITY_EXPRS = r"""
   LENGTH(text) AS n_chars,
@@ -162,7 +187,7 @@ def build_oracles() -> dict[str, str]:
     # -- graph ----------------------------------------------------------
     o["edges_cs"] = f"""
 WITH {CS}
-SELECT src, dst, CAST(weight AS DECIMAL(18,6)) AS weight FROM cs_edges
+SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM cs_edges
 """
 
     o["degrees_cs"] = f"""
@@ -175,7 +200,7 @@ LEFT JOIN (SELECT src AS id, COUNT(*) AS c FROM cs_edges GROUP BY 1) d
 
     o["wdegrees_cs"] = f"""
 WITH {CS}
-SELECT v.id, CAST(COALESCE(d.w, 0.0) AS DECIMAL(18,6)) AS wdeg
+SELECT v.id, CAST(COALESCE(d.w, 0.0) AS DOUBLE) AS wdeg
 FROM cs_verts v
 LEFT JOIN (SELECT src AS id, SUM(weight) AS w FROM cs_edges GROUP BY 1) d
   ON d.id = v.id
@@ -200,7 +225,7 @@ pr(it, id, rank) AS (
   WHERE p.it < 10
   GROUP BY p.it, c.dst
 )
-SELECT id, CAST(ROUND(rank / SUM(rank) OVER (), 6) AS DECIMAL(18,6)) AS rank
+SELECT id, (ROUND(rank / SUM(rank) OVER (), 6) + 0.0) AS rank
 FROM pr WHERE it = 10
 """
 
@@ -244,9 +269,9 @@ LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY 1) t ON t.id = v.id
 tcnt AS (SELECT id, COUNT(*) AS c FROM corners GROUP BY 1),
 deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1)
 SELECT v.id,
-       CAST(ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
+       (ROUND(CASE WHEN COALESCE(d.deg, 0) >= 2
                   THEN 2.0 * COALESCE(t.c, 0) / (d.deg * (d.deg - 1.0))
-                  ELSE 0.0 END, 6) AS DECIMAL(18,6)) AS lcc
+                  ELSE 0.0 END, 6) + 0.0) AS lcc
 FROM pp_verts v
 LEFT JOIN tcnt t ON t.id = v.id
 LEFT JOIN deg d ON d.id = v.id
@@ -277,9 +302,9 @@ vols AS (
     SELECT l_src AS c, weight FROM j UNION ALL SELECT l_dst AS c, weight FROM j
   ) GROUP BY 1
 )
-SELECT CAST(ROUND(
+SELECT (ROUND(
   t.intra / t.total - (SELECT SUM(POWER(vol / t.total, 2) / 4.0) FROM vols),
-  6) AS DECIMAL(18,6)) AS modularity
+  6) + 0.0) AS modularity
 FROM tot t
 """
 
@@ -299,8 +324,8 @@ common AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 )
 SELECT c.s1, c.s2,
-       CAST(ROUND(c.common / (d1.deg + d2.deg - c.common), 6)
-            AS DECIMAL(18,6)) AS jaccard
+       (ROUND(c.common / (d1.deg + d2.deg - c.common), 6)
+            + 0.0) AS jaccard
 FROM common c
 JOIN deg d1 ON d1.dst = c.s1
 JOIN deg d2 ON d2.dst = c.s2
@@ -313,7 +338,7 @@ wedges AS (
   SELECT a.src AS c, a.dst AS s1, b.dst AS s2
   FROM cs_edges a JOIN cs_edges b ON a.src = b.src AND a.dst < b.dst
 )
-SELECT s1, s2, CAST(ROUND(SUM(1.0 / LN(d.cdeg)), 6) AS DECIMAL(18,6)) AS aa
+SELECT s1, s2, (ROUND(SUM(1.0 / LN(d.cdeg)), 6) + 0.0) AS aa
 FROM wedges w JOIN cdeg d ON d.src = w.c
 WHERE d.cdeg >= 2
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
@@ -322,7 +347,7 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
     o["coarsen_cs_by_nation"] = f"""
 WITH {CS}
 SELECT CAST(c.c_nationkey AS BIGINT) AS nation, e.dst AS supplier,
-       CAST(SUM(e.weight) AS DECIMAL(18,6)) AS weight
+       CAST(SUM(e.weight) AS DOUBLE) AS weight
 FROM cs_edges e JOIN customer c ON c.c_custkey = e.src
 GROUP BY 1, 2
 """
@@ -330,7 +355,7 @@ GROUP BY 1, 2
     o["assortativity_pp"] = f"""
 WITH {PP},
 deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1)
-SELECT CAST(ROUND(corr(d1.deg, d2.deg), 6) AS DECIMAL(18,6)) AS assortativity
+SELECT (ROUND(corr(d1.deg, d2.deg), 6) + 0.0) AS assortativity
 FROM pp_sym s
 JOIN deg d1 ON d1.id = s.src
 JOIN deg d2 ON d2.id = s.dst
@@ -383,7 +408,7 @@ scored AS (
   JOIN deg d1 ON d1.id = e.src
   JOIN deg d2 ON d2.id = e.dst
 )
-SELECT lo, hi, CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS score
+SELECT lo, hi, (ROUND(score, 6) + 0.0) AS score
 FROM scored WHERE score >= 0.08
 """
 
@@ -432,15 +457,15 @@ x AS (
   FROM base
 )
 SELECT doc_id, n_chars, n_tokens,
-  CAST(ROUND(avg_token_len, 6) AS DECIMAL(18,6)) AS avg_token_len,
-  CAST(ROUND(stop_ratio, 6) AS DECIMAL(18,6)) AS stop_ratio,
-  CAST(ROUND(punct_ratio, 6) AS DECIMAL(18,6)) AS punct_ratio,
-  CAST(ROUND(
+  (ROUND(avg_token_len, 6) + 0.0) AS avg_token_len,
+  (ROUND(stop_ratio, 6) + 0.0) AS stop_ratio,
+  (ROUND(punct_ratio, 6) + 0.0) AS punct_ratio,
+  (ROUND(
     LEAST(n_tokens / 100.0, 1.0) * 0.4
     + CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 0.3 ELSE 0.0 END
     + LEAST(stop_ratio * 5.0, 1.0) * 0.2
     + CASE WHEN punct_ratio < 0.1 THEN 0.1 ELSE 0.0 END,
-  6) AS DECIMAL(18,6)) AS quality
+  6) + 0.0) AS quality
 FROM x
 """
 
@@ -493,7 +518,7 @@ SELECT md5(text) AS sha, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
 """
 
-    o["docs_minhash"] = _MINHASH
+    o["docs_minhash"] = _minhash_sql(8)
 
     o["docs_lsh_pairs"] = f"WITH {_BANDS} SELECT a, b FROM cand"
 
@@ -502,9 +527,11 @@ FROM documents GROUP BY 1 HAVING COUNT(*) >= 2
     o["docs_lsh_jaccard"] = f"""
 WITH {_BANDS},
 dt2 AS (
-  SELECT DISTINCT doc_id AS id,
-         UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS tok
-  FROM documents WHERE TRIM(text) <> ''
+  SELECT DISTINCT id,
+         UNNEST(list_transform(range(1, LEN(arr)),
+                               i -> arr[i] || ' ' || arr[i + 1])) AS tok
+  FROM (SELECT doc_id AS id, regexp_split_to_array(TRIM(text), '\\s+') AS arr
+        FROM documents WHERE TRIM(text) <> '')
 ),
 sizes AS (SELECT id, COUNT(*) AS sz FROM dt2 GROUP BY 1),
 inter AS (
@@ -516,7 +543,7 @@ verified AS (
   SELECT i.a, i.b, i.inter FROM inter i JOIN cand c ON c.a = i.a AND c.b = i.b
 )
 SELECT v.a, v.b,
-  CAST(ROUND(v.inter / (sa.sz + sb.sz - v.inter), 6) AS DECIMAL(18,6)) AS jaccard
+  (ROUND(v.inter / (sa.sz + sb.sz - v.inter), 6) + 0.0) AS jaccard
 FROM verified v
 JOIN sizes sa ON sa.id = v.a
 JOIN sizes sb ON sb.id = v.b
@@ -531,7 +558,7 @@ scored AS (
          {cos_qc} AS cos
   FROM q JOIN e c ON c.vec_id <> q.vec_id
 )
-SELECT query_id, neighbor_id, CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS cos, rnk
+SELECT query_id, neighbor_id, (ROUND(cos, 6) + 0.0) AS cos, rnk
 FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
@@ -546,7 +573,7 @@ scored AS (
          {cos_qc} AS cos
   FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
 )
-SELECT query_id, neighbor_id, CAST(ROUND(cos, 6) AS DECIMAL(18,6)) AS cos, rnk
+SELECT query_id, neighbor_id, (ROUND(cos, 6) + 0.0) AS cos, rnk
 FROM (
   SELECT *, CAST(ROW_NUMBER() OVER (
       PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
@@ -558,7 +585,7 @@ FROM (
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
 dims AS (SELECT UNNEST(RANGE(1, 65)) AS dim)
 SELECT CAST(e.label AS BIGINT) AS label, d.dim,
-       CAST(ROUND(AVG(e.v[d.dim]), 6) AS DECIMAL(18,6)) AS centroid
+       (ROUND(AVG(e.v[d.dim]), 6) + 0.0) AS centroid
 FROM e CROSS JOIN dims d
 GROUP BY 1, 2
 """
@@ -567,13 +594,13 @@ GROUP BY 1, 2
     o["events_hourly"] = """
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_start,
        event_type, COUNT(*) AS n,
-       CAST(ROUND(SUM(value), 6) AS DECIMAL(18,6)) AS sum_value
+       (ROUND(SUM(value), 6) + 0.0) AS sum_value
 FROM events GROUP BY 1, 2
 """
 
     o["events_type_stats"] = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(ROUND(AVG(value), 6) AS DECIMAL(18,6)) AS avg_value,
+       (ROUND(AVG(value), 6) + 0.0) AS avg_value,
        COUNT(DISTINCT user_id) AS users
 FROM events GROUP BY 1
 """

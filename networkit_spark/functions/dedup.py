@@ -44,31 +44,51 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def word_shingles(col, n: int = 2):
+    """Word n-gram shingles (array<string>): consecutive n tokens joined
+    by a single space. n=1 degenerates to plain tokens. Shingling is what
+    makes minhash discriminative on small-vocabulary corpora — unigram
+    sets over a tiny vocabulary are near-identical across documents."""
+    toks = tokens(col)
+    if n == 1:
+        return toks
+    sz = F.size(toks)
+    # slice length clamped at 0: when() does not short-circuit evaluation
+    ln = F.greatest(sz - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, ln)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(toks, 1 + j, ln),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(sz >= n, out).otherwise(F.array().cast("array<string>"))
+
+
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", distinct: bool = True) -> DataFrame:
+               text_col: str = "text", distinct: bool = True,
+               shingle: int = 1) -> DataFrame:
     """(id, tok) exploded token table; distinct per doc by default (set
-    semantics for minhash/jaccard)."""
+    semantics for minhash/jaccard); ``shingle=n`` emits word n-grams."""
     t = docs.select(F.col(id_col).alias("id"),
-                    F.explode(tokens(text_col)).alias("tok"))
+                    F.explode(word_shingles(text_col, shingle)).alias("tok"))
     return t.distinct() if distinct else t
 
 
 def minhashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """(id, mh0..mh{k-1}): k MinHash signatures over the distinct-token
+              text_col: str = "text", shingle: int = 1) -> DataFrame:
+    """(id, mh0..mh{k-1}): k MinHash signatures over the distinct-shingle
     set — one explode + one aggregation computing all k mins."""
-    dt = doc_tokens(docs, id_col, text_col)
+    dt = doc_tokens(docs, id_col, text_col, shingle=shingle)
     aggs = [F.min(_h(F.col("tok"), i)).alias(f"mh{i}") for i in range(k)]
     return dt.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle: int = 1) -> DataFrame:
     """(a, b) candidate near-duplicate pairs (a < b): docs sharing at least
     one LSH band (band = r = k/bands consecutive minhashes)."""
     assert k % bands == 0
     r = k // bands
-    mh = minhashes(docs, k, id_col, text_col)
+    mh = minhashes(docs, k, id_col, text_col, shingle=shingle)
     band_rows = None
     for bidx in range(bands):
         key = F.concat_ws(
@@ -89,21 +109,40 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame | None = None,
                   id_col: str = "doc_id", text_col: str = "text",
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0, shingle: int = 1) -> DataFrame:
     """(a, b, jaccard): exact token-set Jaccard; if ``pairs`` given, verify
-    only those candidates (the LSH fast path), else all co-token pairs."""
-    dt = doc_tokens(docs, id_col, text_col)
-    sizes = dt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    x = dt.alias("x")
-    y = dt.alias("y")
-    inter = (
-        x.join(y, (F.col("x.tok") == F.col("y.tok"))
-               & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    only those candidates (the LSH fast path), else all co-token pairs.
+
+    Scale shape of the candidate path: the token table is FIRST restricted
+    to documents that appear in ``pairs`` (semi-joins), then the
+    intersection is computed per candidate pair — ``pairs ⋈ tokens(a)``
+    joined to ``tokens(b)`` on (b, tok) — so the cost is
+    Σ_{(a,b)∈pairs} |tokens(a)|, linear in the candidate set. The naive
+    order (all-pairs co-token self-join, filter to candidates after) is
+    Σ_tok df(tok)² and explodes on any common token at corpus scale.
+    """
+    dt = doc_tokens(docs, id_col, text_col, shingle=shingle)
     if pairs is not None:
-        inter = inter.join(pairs, ["a", "b"], "inner")
+        cand_ids = pairs.select(F.col("a").alias("id")).union(
+            pairs.select(F.col("b").alias("id"))).distinct()
+        dt = dt.join(cand_ids, "id", "left_semi")
+        sizes = dt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            pairs.join(dt.select(F.col("id").alias("a"), "tok"), "a")
+            .join(dt.select(F.col("id").alias("b"), "tok"), ["b", "tok"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sizes = dt.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        x = dt.alias("x")
+        y = dt.alias("y")
+        inter = (
+            x.join(y, (F.col("x.tok") == F.col("y.tok"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
@@ -130,22 +169,35 @@ def char_ngrams(col, n: int = 3):
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        threshold: float = 0.5) -> DataFrame:
+                        text_col: str = "text", threshold: float = 0.5,
+                        pairs: DataFrame | None = None) -> DataFrame:
     """(a, b, jaccard) over distinct character n-gram shingles — the
-    n-gram variant of near-dup detection."""
+    n-gram variant of near-dup detection. With ``pairs``, verification is
+    candidate-restricted (same linear-cost shape as :func:`jaccard_pairs`)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_ngrams(text_col, n))).alias("tok"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    x, y = sh.alias("x"), sh.alias("y")
-    inter = (
-        x.join(y, (F.col("x.tok") == F.col("y.tok"))
-               & (F.col("x.id") < F.col("y.id")))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if pairs is not None:
+        cand_ids = pairs.select(F.col("a").alias("id")).union(
+            pairs.select(F.col("b").alias("id"))).distinct()
+        sh = sh.join(cand_ids, "id", "left_semi")
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            pairs.join(sh.select(F.col("id").alias("a"), "tok"), "a")
+            .join(sh.select(F.col("id").alias("b"), "tok"), ["b", "tok"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        x, y = sh.alias("x"), sh.alias("y")
+        inter = (
+            x.join(y, (F.col("x.tok") == F.col("y.tok"))
+                   & (F.col("x.id") < F.col("y.id")))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")

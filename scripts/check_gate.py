@@ -23,13 +23,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _canon(v):
-    """Canonical comparable value: decimals and floats both become
-    6-decimal strings (DuckDB's .df() converts DECIMAL to float64 while
-    Spark's toPandas keeps Decimal objects)."""
+    """STRICT canonicalization mirroring the driver's value-hash: values
+    are compared as delivered by toPandas()/.df() — a Decimal on one side
+    vs a float64 on the other is a MISMATCH (that asymmetry is exactly
+    what sank 14 round-1 queries), and float64s must be bit-identical
+    (repr captures all 17 significant digits and distinguishes -0.0)."""
     if isinstance(v, Decimal):
-        return f"{float(v):.6f}"
+        return f"decimal:{v}"
     if isinstance(v, float):
-        return f"{round(v, 6) + 0.0:.6f}"
+        return f"float:{v!r}"
     if isinstance(v, bytes):
         return v.hex()
     return v
