@@ -403,21 +403,30 @@ def q_events_top_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# north-rule corpus pipeline (no SQL oracle: xxhash64-based generator —
-# rows-only check; full semantics are pytest-verified vs NumPy oracles)
+# north-rule corpus pipeline. The gated variants run the FULL pipeline
+# (RMAT skeleton → rendered (repo,path,commit,lang,content) corpus →
+# regex import extraction → hashed-id graph → kernel) with the md5-keyed
+# generator/ids so DuckDB can reproduce every stage bit-for-bit; the
+# xxhash64-keyed defaults remain the scale path (bench + entry()).
 # ---------------------------------------------------------------------------
 
+def _corpus_graph_md5(spark):
+    return graph_from_repos(
+        rmat_repos(spark, scale=8, edge_factor=8, seed=42, rng="md5"),
+        directed=True, hash_fn="md5")
+
+
 def q_corpus_pagerank_top20(spark, sf_dir):
-    g = graph_from_repos(rmat_repos(spark, scale=8, edge_factor=8, seed=42),
-                         directed=True)
-    pr = pagerank(g, damp=0.85, tol=1e-6)
-    return ranking(pr).limit(20).select(
-        "id", _r6(F.col("rank")).alias("rank"))
+    g = _corpus_graph_md5(spark)
+    pr = pagerank(g, damp=0.85, fixed_iters=12)
+    # top-20 ordered by the ROUNDED rank (then id): ordering on the raw
+    # double would make the cut depend on sub-1e-6 float noise
+    return (pr.select("id", _r6(F.col("rank")).alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("id")).limit(20))
 
 
 def q_corpus_components(spark, sf_dir):
-    g = graph_from_repos(rmat_repos(spark, scale=8, edge_factor=8, seed=42),
-                         directed=True)
+    g = _corpus_graph_md5(spark)
     return component_sizes(connected_components(g, algorithm="star"))
 
 

@@ -15,10 +15,12 @@ Design rules (mirrored in the Spark plans):
   - DuckDB regexp_replace needs the 'g' flag to match Spark's
     replace-all semantics.
 
-Queries without an oracle (documented rows-only checks): the
-``corpus_*`` pipeline queries — their RMAT generator keys off Spark's
-xxhash64, which DuckDB does not implement; their semantics are
-pytest-verified against NumPy oracles instead (tests/oracles.py).
+Every query in ``__spark_entry__.queries()`` has an oracle. The
+``corpus_*`` pipeline queries use the md5-keyed generator/vertex-id
+variants (rng="md5"/hash_fn="md5") precisely so the whole
+RMAT → rendered-corpus → import-graph pipeline is reproducible here;
+the xxhash64 defaults remain the scale path and are pytest-verified
+against NumPy oracles (tests/oracles.py).
 """
 
 from __future__ import annotations
@@ -104,6 +106,34 @@ lab{i} AS (
     return ",\n".join(parts)
 
 
+def _kcore_unrolled(k: int) -> str:
+    """core0..core{k} CTEs: the h-index fixpoint on the pp graph
+    (mirrors operators/kcore.py). k=24 covers sf0.01 (empirically
+    converged after 19 rounds) with margin; the Spark side runs to
+    convergence, so equality holds iff both have converged."""
+    parts = ["""
+core0 AS MATERIALIZED (
+  SELECT v.id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS core
+  FROM pp_verts v
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1) d
+    ON d.id = v.id
+)"""]
+    for i in range(1, k + 1):
+        parts.append(f"""
+h{i} AS MATERIALIZED (
+  SELECT id, MAX(LEAST(rn, c)) AS h FROM (
+    SELECT s.dst AS id, x.core AS c,
+           ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY x.core DESC) AS rn
+    FROM pp_sym s JOIN core{i-1} x ON x.id = s.src
+  ) GROUP BY id
+),
+core{i} AS MATERIALIZED (
+  SELECT c.id, LEAST(c.core, COALESCE(h.h, c.core)) AS core
+  FROM core{i-1} c LEFT JOIN h{i} h ON h.id = c.id
+)""")
+    return ",\n".join(parts)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = _h(999)
     votes = ",\n    ".join(
@@ -170,6 +200,58 @@ cand AS (
 
 
 _BANDS = _bands_sql(16, 4, TOKS2)
+
+def _corpus_cte(scale: int = 8, edge_factor: int = 8, seed: int = 42,
+                a: float = 0.57, b: float = 0.19, c: float = 0.19,
+                repo: str = "synthorg/linkgraph") -> str:
+    """Reproduces the md5-keyed corpus pipeline (generators.rmat_edges →
+    render_repos → repos.graph_from_repos, all with rng/hash_fn="md5")
+    down to the hashed-id edge list: CTEs verts(id) + g_edges(src, dst).
+
+    The uniform draw is md5int60(i:j:seed)/2^60 — an exact power-of-two
+    scale, so the doubles (and the quadrant comparisons against the
+    repr()-exact thresholds) are bit-identical to the Spark side."""
+    n = 1 << scale
+    m = n * edge_factor
+    inv = 1.0 / (1 << 60)
+    us = ",\n         ".join(
+        f"CAST(('0x' || SUBSTRING(md5(CAST(i AS VARCHAR) || ':{j}:{seed}'), 1, 15))"
+        f" AS BIGINT) * {inv!r} AS u{j}"
+        for j in range(scale))
+    src_sum = " + ".join(
+        f"(CASE WHEN u{j} >= {a + b!r} THEN {1 << j} ELSE 0 END)"
+        for j in range(scale))
+    dst_sum = " + ".join(
+        f"(CASE WHEN (u{j} >= {a!r} AND u{j} < {a + b!r}) OR u{j} >= {a + b + c!r}"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(scale))
+    return f"""
+us AS (
+  SELECT i, {us}
+  FROM RANGE({m}) t(i)
+),
+sk AS (SELECT ({src_sum}) AS sfid, ({dst_sum}) AS dfid FROM us),
+skel AS (SELECT DISTINCT sfid, dfid FROM sk WHERE sfid <> dfid),
+langs AS (
+  SELECT fid,
+         (['py','js','java','go','c'])[
+           CAST(CAST(('0x' || SUBSTRING(md5(CAST(fid AS VARCHAR) || ':{seed}'),
+                                        1, 15)) AS BIGINT) % 5 AS INT) + 1] AS lang
+  FROM RANGE({n}) f(fid)
+),
+vids AS (
+  SELECT fid,
+         CAST(('0x' || SUBSTRING(md5('{repo}:src/mod_' || CAST(fid AS VARCHAR)
+                                     || '.' || lang), 1, 15)) AS BIGINT) AS vid
+  FROM langs
+),
+verts AS (SELECT vid AS id FROM vids),
+g_edges AS (
+  SELECT a.vid AS src, b.vid AS dst
+  FROM skel e JOIN vids a ON a.fid = e.sfid JOIN vids b ON b.fid = e.dfid
+)
+"""
+
 
 _QUALITY_EXPRS = r"""
   LENGTH(text) AS n_chars,
@@ -412,6 +494,12 @@ SELECT lo, hi, (ROUND(score, 6) + 0.0) AS score
 FROM scored WHERE score >= 0.08
 """
 
+    o["kcore_pp"] = f"""
+WITH {PP},
+{_kcore_unrolled(24)}
+SELECT id, core FROM core24
+"""
+
     o["edge_ids_pp"] = f"""
 WITH {PP}
 SELECT src, dst,
@@ -611,5 +699,43 @@ FROM events GROUP BY 1
 ORDER BY n DESC, user_id ASC LIMIT 20
 """
 
-    # corpus_* queries: rows-only (no SQL twin — see module docstring)
+    # -- north-rule corpus pipeline (md5-keyed, fully SQL-reproducible) --
+    o["corpus_pagerank_top20"] = f"""
+WITH RECURSIVE {_corpus_cte()},
+nn AS (SELECT COUNT(*) AS c FROM verts),
+odeg AS (SELECT src, COUNT(*) AS od FROM g_edges GROUP BY 1),
+coef AS (
+  SELECT e.src, e.dst, 1.0 / o.od AS coef
+  FROM g_edges e JOIN odeg o ON o.src = e.src
+  UNION ALL
+  SELECT id, id, 0.0 FROM verts
+),
+pr(it, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT c FROM nn) FROM verts
+  UNION ALL
+  SELECT p.it + 1, c.dst,
+         0.15 / (SELECT c FROM nn) + 0.85 * SUM(p.rank * c.coef)
+  FROM pr p JOIN coef c ON c.src = p.id
+  WHERE p.it < 12
+  GROUP BY p.it, c.dst
+)
+SELECT id, (ROUND(rank / SUM(rank) OVER (), 6) + 0.0) AS rank
+FROM pr WHERE it = 12
+ORDER BY 2 DESC, id ASC LIMIT 20
+"""
+
+    o["corpus_components"] = f"""
+WITH RECURSIVE {_corpus_cte()},
+gsym AS (
+  SELECT src, dst FROM g_edges UNION SELECT dst AS src, src AS dst FROM g_edges
+),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.dst, reach.r FROM reach JOIN gsym s ON s.src = reach.id
+),
+cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT component, COUNT(*) AS size FROM cc GROUP BY 1
+"""
+
     return o

@@ -48,6 +48,21 @@ def _u01(*cols):
     return (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
 
 
+def _md5_int60(*cols):
+    """Deterministic non-negative int60 from column values: first 15 hex
+    chars of md5(colon-joined values). Bit-identical in DuckDB:
+    CAST(('0x' || SUBSTRING(md5(a || ':' || b || ...), 1, 15)) AS BIGINT)."""
+    joined = F.concat_ws(":", *[c.cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
+def _u01_md5(*cols):
+    """Deterministic uniform [0,1) via md5 — the SQL-oracle-reproducible
+    RNG (division by 2^60 is a power-of-two scale, hence exact: the
+    resulting double is bit-identical across engines)."""
+    return _md5_int60(*cols).cast("double") / F.lit(float(1 << 60))
+
+
 def rmat_edges(
     spark: SparkSession,
     scale: int,
@@ -58,19 +73,24 @@ def rmat_edges(
     d: float = 0.05,
     seed: int = 42,
     deduplicate: bool = True,
+    rng: str = "xxhash64",
 ) -> DataFrame:
     """R-MAT graph over n=2^scale vertices, m=n*edge_factor sampled edges.
 
     Returns (src: long, dst: long). Self-loops kept (callers filter);
     duplicates dropped by default (R-MAT resamples collide on purpose).
+    ``rng="md5"`` switches the counter-based draw to the md5-derived
+    uniform (slower, but bit-reproducible in DuckDB — used by the gated
+    corpus queries so the full pipeline gets a SQL oracle).
     """
     n = 1 << scale
     m = n * edge_factor
+    u01 = _u01_md5 if rng == "md5" else _u01
     df = spark.range(m).select(F.col("id").alias("i"))
     src = F.lit(0).cast("long")
     dst = F.lit(0).cast("long")
     for j in range(scale):
-        u = _u01(F.col("i"), F.lit(j), F.lit(seed))
+        u = u01(F.col("i"), F.lit(j), F.lit(seed))
         src_bit = (u >= F.lit(a + b)).cast("long")  # quadrants c,d -> lower half of src? no: rows
         dst_bit = ((u >= F.lit(a)) & (u < F.lit(a + b)) | (u >= F.lit(a + b + c))).cast("long")
         src = src + (src_bit * F.lit(1 << j)).cast("long")
@@ -86,6 +106,7 @@ def render_repos(
     n: int,
     repo: str = "synthorg/linkgraph",
     seed: int = 42,
+    rng: str = "xxhash64",
 ) -> DataFrame:
     """Render an edge skeleton over files 0..n-1 into a corpus table
     (repo, path, commit, lang, content) whose derived import graph equals
@@ -101,9 +122,11 @@ def render_repos(
     f = files.join(imports, "fid", "left").select(
         "fid", F.coalesce("deps", F.array().cast("array<long>")).alias("deps")
     )
+    lang_hash = (_md5_int60(F.col("fid"), F.lit(seed)) if rng == "md5"
+                 else F.xxhash64("fid", F.lit(seed)))
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]),
-        (F.pmod(F.xxhash64("fid", F.lit(seed)), F.lit(len(LANGS))) + 1).cast("int"),
+        (F.pmod(lang_hash, F.lit(len(LANGS))) + 1).cast("int"),
     )
     f = f.withColumn("lang", lang)
     path = F.concat(F.lit("src/mod_"), F.col("fid").cast("string"),
@@ -143,10 +166,10 @@ def render_repos(
 
 
 def rmat_repos(spark: SparkSession, scale: int, edge_factor: int = 8,
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, rng: str = "xxhash64") -> DataFrame:
     """Convenience: RMAT skeleton rendered into a repos corpus."""
-    e = rmat_edges(spark, scale, edge_factor, seed=seed)
-    return render_repos(e, 1 << scale, seed=seed)
+    e = rmat_edges(spark, scale, edge_factor, seed=seed, rng=rng)
+    return render_repos(e, 1 << scale, seed=seed, rng=rng)
 
 
 # -- driver-side fixture generators (test scale only) -------------------------

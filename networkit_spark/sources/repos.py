@@ -45,9 +45,20 @@ IMPORT_PATTERNS = {
 }
 
 
-def file_id_col(repo="repo", path="path"):
+def file_id_col(repo="repo", path="path", hash_fn: str = "xxhash64"):
     """Deterministic non-negative int64 vertex id for a file. pmod (not
-    abs%) — abs(Long.MIN_VALUE) overflows under ANSI mode."""
+    abs%) — abs(Long.MIN_VALUE) overflows under ANSI mode.
+
+    ``hash_fn="md5"`` derives the id from md5(repo:path) (first 15 hex
+    chars → int60, already non-negative) — bit-reproducible in DuckDB, so
+    the corpus pipeline gets a SQL oracle. xxhash64 stays the default at
+    scale (one JVM hash vs md5's digest + hex decode)."""
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(repo), F.col(path))), 1, 15),
+            16, 10,
+        ).cast("long")
     return F.pmod(F.xxhash64(F.col(repo), F.col(path)), F.lit(MAX_INT63))
 
 
@@ -57,18 +68,18 @@ def module_name_col(path="path"):
                             r"^(.+?)(\.[A-Za-z0-9]+)?$", 1)
 
 
-def ingest(repos: DataFrame) -> DataFrame:
+def ingest(repos: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """files(file_id, repo, path, commit, lang, sha) — vertex/lineage table.
     content itself is deliberately NOT carried (column pruning at scale)."""
     return repos.select(
-        file_id_col().alias("file_id"),
+        file_id_col(hash_fn=hash_fn).alias("file_id"),
         "repo", "path", "commit", "lang",
         F.sha2(F.col("content"), 256).alias("sha"),
         module_name_col().alias("module"),
     )
 
 
-def extract_references(repos: DataFrame) -> DataFrame:
+def extract_references(repos: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """(repo, src_file_id, ref) — one row per referenced module name.
     The per-lang regex dispatch is a CASE expression over
     ``regexp_extract_all`` — map-side, codegen'd, no UDF."""
@@ -83,18 +94,19 @@ def extract_references(repos: DataFrame) -> DataFrame:
         )
     refs = refs.otherwise(F.array().cast("array<string>"))
     return (
-        repos.select("repo", file_id_col().alias("src"), refs.alias("refs"))
+        repos.select("repo", file_id_col(hash_fn=hash_fn).alias("src"),
+                     refs.alias("refs"))
         .select("repo", "src", F.explode("refs").alias("ref"))
     )
 
 
-def derive_edges(repos: DataFrame) -> DataFrame:
+def derive_edges(repos: DataFrame, hash_fn: str = "xxhash64") -> DataFrame:
     """edges(src, dst, weight) — the import graph; deduplicated, directed,
     weight 1.0. Self-references dropped."""
-    files = ingest(repos)
+    files = ingest(repos, hash_fn=hash_fn)
     targets = files.select("repo", F.col("module").alias("ref"),
                            F.col("file_id").alias("dst"))
-    refs = extract_references(repos)
+    refs = extract_references(repos, hash_fn=hash_fn)
     return (
         refs.join(targets, ["repo", "ref"])
         .filter(F.col("src") != F.col("dst"))
@@ -104,13 +116,14 @@ def derive_edges(repos: DataFrame) -> DataFrame:
     )
 
 
-def graph_from_repos(repos: DataFrame, directed: bool = True) -> Graph:
+def graph_from_repos(repos: DataFrame, directed: bool = True,
+                     hash_fn: str = "xxhash64") -> Graph:
     """The full stage-0 pipeline: corpus table → Graph. The vertex set is
     ALL files (isolated files stay isolated vertices, matching the
     reference's existing-but-unconnected nodes)."""
-    vertices = repos.select(file_id_col().alias("id"))
-    return Graph(derive_edges(repos), directed=directed, weighted=False,
-                 vertices=vertices)
+    vertices = repos.select(file_id_col(hash_fn=hash_fn).alias("id"))
+    return Graph(derive_edges(repos, hash_fn=hash_fn), directed=directed,
+                 weighted=False, vertices=vertices)
 
 
 def continuous_ids(vertices: DataFrame, id_col: str = "id") -> DataFrame:

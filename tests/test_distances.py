@@ -123,6 +123,15 @@ def test_core_decomposition(spark, karate):
     assert got == _kcore_oracle(edges, n)
 
 
+def test_core_star_center(spark):
+    # round-1 regression: the peeling formulation lost the K1,3 center
+    # (all neighbors peeled in the same level) and gave it core 0; the
+    # h-index fixpoint keeps per-vertex state and must give core 1.
+    g = Graph.from_rows(spark, [(0, 1), (0, 2), (0, 3)], directed=False)
+    got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
 def test_core_k4_plus_tail(spark):
     g = Graph.from_rows(spark, K4_EDGES + [(3, 4), (4, 5)], directed=False)
     got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}

@@ -29,7 +29,7 @@ def duck():
     return con
 
 
-ORACLE_LESS = {"corpus_pagerank_top20", "corpus_components", "kcore_pp"}
+ORACLE_LESS: set[str] = set()
 
 
 def test_queries_and_oracles_consistent():
