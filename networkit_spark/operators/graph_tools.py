@@ -35,33 +35,60 @@ def merge(g1: Graph, g2: Graph) -> Graph:
                  vertices=g1.vertices.union(g2.vertices))
 
 
+def ordered_dense_ids(df: DataFrame, cols: list[str],
+                      out_col: str = "dense_id") -> DataFrame:
+    """Append ``out_col`` = global 0-based rank of the row in the
+    lexicographic order of ``cols`` (rows must be distinct on ``cols``).
+
+    Distributed two-pass assignment — the equivalent of a global
+    ``row_number() OVER (ORDER BY cols)`` WITHOUT the single-partition
+    sort that plan collapses to: (1) range-repartition on ``cols`` (order
+    across partitions), (2) count rows per partition (a tiny collect),
+    (3) per-partition ``row_number`` window + the broadcast cumulative
+    offset. Correct for ANY boundary choice the range partitioner makes,
+    since offsets come from the actual counts."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(npart, *cols) \
+        .withColumn("_pid", F.spark_partition_id()).persist()
+    counts = {int(r["_pid"]): int(r["cnt"]) for r in
+              ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0).cast("long")).filter(F.lit(False))
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col,
+                    (F.row_number().over(w) - 1 + F.col("_off")).cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def index_edges(g: Graph) -> DataFrame:
     """(src, dst, weight, edge_id): stable ids in canonical scan order —
     one id per undirected edge, assigned on the (lo, hi) orientation
     (Graph::indexEdges assigns one id per undirected edge on the u>=v
-    side, Graph.cpp:234-243).
-
-    Global row_number = single-partition sort; fine for id assignment
-    (done once); use monotonically_increasing_id when stability across
-    runs is not required."""
+    side, Graph.cpp:234-243). Id assignment is the distributed two-pass
+    :func:`ordered_dense_ids` (no global sort)."""
     canon = g.edges.select(
         "src", "dst", "weight",
         F.least("src", "dst").alias("_lo"), F.greatest("src", "dst").alias("_hi"))
-    ids = (
-        canon.select("_lo", "_hi").distinct()
-        .withColumn("edge_id",
-                    F.row_number().over(Window.orderBy("_lo", "_hi")) - 1)
-    )
+    ids = ordered_dense_ids(canon.select("_lo", "_hi").distinct(),
+                            ["_lo", "_hi"], "edge_id")
     return canon.join(ids, ["_lo", "_hi"]).select(
         "src", "dst", "weight", F.col("edge_id").cast("long").alias("edge_id"))
 
 
 def compact_partition(labels: DataFrame, label_col: str = "label") -> DataFrame:
     """Partition::compact — relabel to dense 0..k-1 preserving label
-    order."""
-    distinct = labels.select(label_col).distinct()
-    mapping = distinct.withColumn(
-        "_new", (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"))
+    order (distributed two-pass rank; no single-partition sort)."""
+    mapping = ordered_dense_ids(labels.select(label_col).distinct(),
+                                [label_col], "_new")
     return labels.join(mapping, label_col).select(
         "id", F.col("_new").alias(label_col))
 

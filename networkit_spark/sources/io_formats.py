@@ -53,14 +53,19 @@ def read_snap(spark: SparkSession, path: str, directed: bool = True) -> Graph:
 
 
 def read_metis(spark: SparkSession, path: str) -> Graph:
-    """METIS adjacency format. Weighted variants (fmt != 0) unsupported."""
+    """METIS adjacency format. Weighted variants (fmt != 0) unsupported.
+
+    '%' comment lines are dropped BEFORE line numbering (matching the
+    reference METISParser): non-comment line i (0-based after the header)
+    holds the adjacency of node i — numbering before filtering would
+    shift every node id after an interior comment."""
     rows = (
-        spark.read.text(path).rdd.zipWithIndex()
+        spark.read.text(path).rdd
+        .filter(lambda r: not r["value"].lstrip().startswith("%"))
+        .zipWithIndex()
         .map(lambda t: (t[1], t[0]["value"]))
     )
-    df = spark.createDataFrame(rows, "line long, value string").filter(
-        ~F.col("value").startswith("%")
-    )
+    df = spark.createDataFrame(rows, "line long, value string")
     header = df.filter("line = 0").collect()[0]["value"].split()
     n = int(header[0])
     toks = F.split(F.trim("value"), r"\s+")

@@ -129,19 +129,13 @@ def graph_from_repos(repos: DataFrame, directed: bool = True,
 def continuous_ids(vertices: DataFrame, id_col: str = "id") -> DataFrame:
     """(id, dense_id) — GraphTools.getContinuousNodeIds
     (/root/reference/networkit/_NetworKit.pyx:4189-4213): order-preserving
-    densification to 0..n-1.
-
-    Note: ``row_number`` over a global order is a single-partition sort at
-    scale — use only when an algorithm genuinely needs dense ids (none of
-    the north-rule kernels do; they operate on raw int64 ids).
+    densification to 0..n-1 via the distributed two-pass rank
+    (range-repartition + per-partition offsets; no single-partition sort).
     """
-    from pyspark.sql import Window
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
 
-    w = Window.orderBy(F.col(id_col))
-    return vertices.select(
-        F.col(id_col).alias("id"),
-        (F.row_number().over(w) - 1).cast("long").alias("dense_id"),
-    )
+    return ordered_dense_ids(
+        vertices.select(F.col(id_col).alias("id")), ["id"], "dense_id")
 
 
 def verify_sha(files: DataFrame, repos: DataFrame) -> int:

@@ -13,6 +13,17 @@ def test_read_metis_karate_matches_reference_fixture(spark, karate):
     assert got == {(u, v) for u, v in edges}
 
 
+def test_read_metis_comments(spark, tmp_path):
+    # leading AND interior % comments must not shift node numbering
+    # (round-1 bug: zipWithIndex ran before the comment filter)
+    p = tmp_path / "c.graph"
+    p.write_text("% header comment\n4 3\n2\n% interior comment\n1 3 4\n2\n2\n")
+    g = read_metis(spark, str(p))
+    assert g.num_vertices() == 4
+    got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert got == {(0, 1), (1, 2), (1, 3)}
+
+
 def test_edgelist_roundtrip(spark, tmp_path):
     g = Graph.from_rows(spark, [(0, 1, 2.5), (1, 2, 1.0), (5, 3, 4.0)],
                         directed=True)
