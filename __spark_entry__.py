@@ -430,6 +430,66 @@ def q_corpus_components(spark, sf_dir):
     return component_sizes(connected_components(g, algorithm="star"))
 
 
+
+# ---------------------------------------------------------------------------
+# partition quality / similarity measures
+# ---------------------------------------------------------------------------
+
+def _brand_labels(spark, sf_dir):
+    return TG.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_brand").alias("label"))
+
+
+def q_community_eval_pp_brand(spark, sf_dir):
+    """EdgeCut + Coverage + Modularity of the p_brand partition on the
+    pp graph (reference EdgeCut/Coverage/Modularity quality measures)."""
+    from networkit_spark.operators.community_eval import coverage, edge_cut
+    g = TG.graph_part_part(spark, sf_dir)
+    labels = _brand_labels(spark, sf_dir)
+    row = (edge_cut(g, labels), coverage(g, labels), modularity(g, labels))
+    return spark.createDataFrame(
+        [row], "edge_cut double, coverage double, modularity double"
+    ).select(_r6(F.col("edge_cut")).alias("edge_cut"),
+             _r6(F.col("coverage")).alias("coverage"),
+             _r6(F.col("modularity")).alias("modularity"))
+
+
+def q_conductance_pp_size(spark, sf_dir):
+    """Conductance of the 2-partition {p_size <= 25} on the pp graph."""
+    from networkit_spark.operators.community_eval import conductance
+    g = TG.graph_part_part(spark, sf_dir)
+    labels = TG.load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        (F.col("p_size") <= 25).cast("int").alias("label"))
+    c = conductance(g, labels)
+    return spark.createDataFrame([(c,)], "conductance double").select(
+        _r6(F.col("conductance")).alias("conductance"))
+
+
+def q_partition_sim_pp(spark, sf_dir):
+    """All five partition-similarity measures between the LPA(4) labels
+    and the p_brand partition on the pp graph."""
+    from networkit_spark.operators.community_eval import (
+        adjusted_rand_dissimilarity, graph_structural_rand_dissimilarity,
+        jaccard_dissimilarity, nmi_distance, rand_dissimilarity)
+    g = TG.graph_part_part(spark, sf_dir)
+    lpa4 = label_propagation(g, theta=-1, max_iter=4)
+    brand = _brand_labels(spark, sf_dir)
+    row = (rand_dissimilarity(lpa4, brand),
+           adjusted_rand_dissimilarity(lpa4, brand),
+           jaccard_dissimilarity(lpa4, brand),
+           graph_structural_rand_dissimilarity(g, lpa4, brand),
+           nmi_distance(lpa4, brand))
+    return spark.createDataFrame(
+        [row], "rand_d double, ari_d double, jaccard_d double, "
+               "gsrand_d double, nmi_d double"
+    ).select(_r6(F.col("rand_d")).alias("rand_d"),
+             _r6(F.col("ari_d")).alias("ari_d"),
+             _r6(F.col("jaccard_d")).alias("jaccard_d"),
+             _r6(F.col("gsrand_d")).alias("gsrand_d"),
+             _r6(F.col("nmi_d")).alias("nmi_d"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edges_cs": q_edges_cs,
@@ -471,6 +531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
         "events_top_users": q_events_top_users,
+        "community_eval_pp_brand": q_community_eval_pp_brand,
+        "conductance_pp_size": q_conductance_pp_size,
+        "partition_sim_pp": q_partition_sim_pp,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,
     }

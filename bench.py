@@ -91,7 +91,8 @@ def main() -> None:
     # -- data-pipeline ops -------------------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_lsh_jaccard", lambda: jaccard_pairs(
-        docs, pairs=lsh_candidate_pairs(docs, k=8, bands=4)).count())
+        docs, shingle=2,
+        pairs=lsh_candidate_pairs(docs, k=16, bands=4, shingle=2)).count())
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

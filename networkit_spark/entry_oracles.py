@@ -699,6 +699,96 @@ FROM events GROUP BY 1
 ORDER BY n DESC, user_id ASC LIMIT 20
 """
 
+    # -- partition quality / similarity -----------------------------------
+    o["community_eval_pp_brand"] = f"""
+WITH {PP},
+br AS (SELECT p_partkey AS id, p_brand AS l FROM part),
+j AS (
+  SELECT e.src, e.dst, 1.0 AS weight, a.l AS l_src, b.l AS l_dst
+  FROM pp_edges e JOIN br a ON a.id = e.src JOIN br b ON b.id = e.dst
+),
+tot AS (
+  SELECT SUM(weight) AS total,
+         SUM(CASE WHEN l_src <> l_dst THEN weight ELSE 0.0 END) AS cut,
+         SUM(CASE WHEN l_src = l_dst THEN weight ELSE 0.0 END) AS intra
+  FROM j
+),
+vols AS (
+  SELECT c, SUM(weight) AS vol FROM (
+    SELECT l_src AS c, weight FROM j UNION ALL SELECT l_dst AS c, weight FROM j
+  ) GROUP BY 1
+)
+SELECT (ROUND(t.cut, 6) + 0.0) AS edge_cut,
+       (ROUND(t.intra / t.total, 6) + 0.0) AS coverage,
+       (ROUND(t.intra / t.total
+              - (SELECT SUM(POWER(vol / t.total, 2) / 4.0) FROM vols),
+              6) + 0.0) AS modularity
+FROM tot t
+"""
+
+    o["conductance_pp_size"] = f"""
+WITH {PP},
+lb AS (SELECT p_partkey AS id,
+              CASE WHEN p_size <= 25 THEN 1 ELSE 0 END AS l FROM part),
+j AS (
+  SELECT 1.0 AS weight, a.l AS l_src, b.l AS l_dst
+  FROM pp_edges e JOIN lb a ON a.id = e.src JOIN lb b ON b.id = e.dst
+),
+cut AS (
+  SELECT SUM(CASE WHEN l_src <> l_dst THEN weight ELSE 0.0 END) AS c FROM j
+),
+vols AS (
+  SELECT c, SUM(weight) AS vol FROM (
+    SELECT l_src AS c, weight FROM j UNION ALL SELECT l_dst AS c, weight FROM j
+  ) GROUP BY 1
+)
+SELECT (ROUND((SELECT c FROM cut) / (SELECT MIN(vol) FROM vols), 6) + 0.0)
+       AS conductance
+"""
+
+    o["partition_sim_pp"] = f"""
+WITH {PP},
+{_lpa_unrolled(4)},
+br AS (SELECT p_partkey AS id, p_brand AS b FROM part),
+j AS (SELECT l.id, l.label AS a, br.b FROM lab4 l JOIN br ON br.id = l.id),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM j),
+cells AS (SELECT a, b, COUNT(*) AS s FROM j GROUP BY a, b),
+ma AS (SELECT a, SUM(s) AS sa FROM cells GROUP BY a),
+mb AS (SELECT b, SUM(s) AS sb FROM cells GROUP BY b),
+sums AS (
+  SELECT (SELECT SUM(sa * (sa - 1) / 2) FROM ma) AS s1,
+         (SELECT SUM(sb * (sb - 1) / 2) FROM mb) AS s2,
+         (SELECT SUM(s * (s - 1) / 2) FROM cells) AS si,
+         (SELECT n FROM nn) * ((SELECT n FROM nn) - 1) / 2 AS total
+),
+eg AS (
+  SELECT ja.a AS a_src, jb.a AS a_dst, ja.b AS b_src, jb.b AS b_dst
+  FROM pp_edges e JOIN j ja ON ja.id = e.src JOIN j jb ON jb.id = e.dst
+),
+ag AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(CASE WHEN (a_src = a_dst) = (b_src = b_dst)
+             THEN 1 ELSE 0 END) AS agree
+  FROM eg
+),
+mi AS (
+  SELECT SUM((s / (SELECT n FROM nn))
+             * LOG2(s * (SELECT n FROM nn) / (ma.sa * mb.sb))) AS v
+  FROM cells JOIN ma USING (a) JOIN mb USING (b)
+),
+h1 AS (SELECT -SUM(sa / (SELECT n FROM nn) * LOG2(sa / (SELECT n FROM nn))) AS v FROM ma),
+h2 AS (SELECT -SUM(sb / (SELECT n FROM nn) * LOG2(sb / (SELECT n FROM nn))) AS v FROM mb)
+SELECT
+  (ROUND(1.0 - (si + (total + si - (s1 + s2))) / total, 6) + 0.0) AS rand_d,
+  (ROUND(1.0 - (si - s1 * s2 / total) / (0.5 * (s1 + s2) - s1 * s2 / total),
+         6) + 0.0) AS ari_d,
+  (ROUND(1.0 - si / (s1 + s2 - si), 6) + 0.0) AS jaccard_d,
+  (ROUND(1.0 - (SELECT agree FROM ag) / (SELECT m FROM ag), 6) + 0.0) AS gsrand_d,
+  (ROUND(1.0 - 2.0 * (SELECT v FROM mi) / ((SELECT v FROM h1) + (SELECT v FROM h2)),
+         6) + 0.0) AS nmi_d
+FROM sums
+"""
+
     # -- north-rule corpus pipeline (md5-keyed, fully SQL-reproducible) --
     o["corpus_pagerank_top20"] = f"""
 WITH RECURSIVE {_corpus_cte()},
