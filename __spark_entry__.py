@@ -194,6 +194,28 @@ def q_supplier_adamic_adar(spark, sf_dir):
     )
 
 
+def q_supplier_resource_alloc(spark, sf_dir):
+    """ResourceAllocation over the supplier projection (Σ 1/deg(c) for
+    shared customers c, restricted to pairs with >= 2 shared)."""
+    e = TG.edges_customer_supplier(spark, sf_dir).select("src", "dst")
+    cdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("cdeg"))
+    a, b = e.alias("a"), e.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.src") == F.col("b.src"))
+               & (F.col("a.dst") < F.col("b.dst")))
+        .select(F.col("a.src").alias("c"), F.col("a.dst").alias("s1"),
+                F.col("b.dst").alias("s2"))
+    )
+    return (
+        wedges.join(cdeg.withColumnRenamed("src", "c"), "c")
+        .groupBy("s1", "s2")
+        .agg(_r6(F.sum(1.0 / F.col("cdeg"))).alias("ra"),
+             F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+        .select("s1", "s2", "ra")
+    )
+
+
 def q_coarsen_cs_by_nation(spark, sf_dir):
     """Contract the customer side by nation (ParallelPartitionCoarsening
     shape): (nation, supplier, weight)."""
@@ -507,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_common_customers": q_supplier_common_customers,
         "supplier_jaccard": q_supplier_jaccard,
         "supplier_adamic_adar": q_supplier_adamic_adar,
+        "supplier_resource_alloc": q_supplier_resource_alloc,
         "coarsen_cs_by_nation": q_coarsen_cs_by_nation,
         "assortativity_pp": q_assortativity_pp,
         "bfs_cs_d6": q_bfs_cs_d6,

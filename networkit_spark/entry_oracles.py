@@ -426,6 +426,18 @@ WHERE d.cdeg >= 2
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
+    o["supplier_resource_alloc"] = f"""
+WITH {CS},
+cdeg AS (SELECT src, COUNT(*) AS cdeg FROM cs_edges GROUP BY 1),
+wedges AS (
+  SELECT a.src AS c, a.dst AS s1, b.dst AS s2
+  FROM cs_edges a JOIN cs_edges b ON a.src = b.src AND a.dst < b.dst
+)
+SELECT s1, s2, (ROUND(SUM(1.0 / d.cdeg), 6) + 0.0) AS ra
+FROM wedges w JOIN cdeg d ON d.src = w.c
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
     o["coarsen_cs_by_nation"] = f"""
 WITH {CS}
 SELECT CAST(c.c_nationkey AS BIGINT) AS nation, e.dst AS supplier,

@@ -120,3 +120,94 @@ def test_katz_unit_norm_and_order(spark, karate):
     leaf = min(range(n), key=lambda u: len(nb[u]))
     hub = max(range(n), key=lambda u: len(nb[u]))
     assert scores[hub] > scores[leaf]
+
+
+def test_more_linkpred_indices_vs_python(spark, karate):
+    from pyspark.sql import functions as F
+    from networkit_spark.operators.linkpred import (
+        katz_index, neighborhood_distance_index, neighbors_measure_index,
+        resource_allocation_index, same_community_index, u_degree_index,
+        v_degree_index,
+    )
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    nb = _nbrs(edges, n)
+    eset = {(u, v) for u in nb for v in nb[u]}
+    want_pairs = {(u, v) for u in range(n) for v in range(u + 1, n)
+                  if nb[u] & nb[v]}
+    pairs = spark.createDataFrame(sorted(want_pairs), "u long, v long")
+
+    ra = {(r["u"], r["v"]): r["score"] for r in resource_allocation_index(g).collect()}
+    nd = {(r["u"], r["v"]): r["score"] for r in neighborhood_distance_index(g).collect()}
+    nm = {(r["u"], r["v"]): r["score"] for r in neighbors_measure_index(g, pairs).collect()}
+    ud = {(r["u"], r["v"]): r["score"] for r in u_degree_index(g, pairs).collect()}
+    vd = {(r["u"], r["v"]): r["score"] for r in v_degree_index(g, pairs).collect()}
+    for (u, v) in want_pairs:
+        inter = nb[u] & nb[v]
+        assert ra[(u, v)] == pytest.approx(sum(1.0 / len(nb[w]) for w in inter))
+        assert nd[(u, v)] == pytest.approx(
+            len(inter) / math.sqrt(len(nb[u]) * len(nb[v])))
+        want_nm = sum(1 for a in nb[u] for b in nb[v]
+                      if a == b or (a, b) in eset)
+        assert nm[(u, v)] == want_nm
+        assert ud[(u, v)] == len(nb[u])
+        assert vd[(u, v)] == len(nb[v])
+
+    labels = spark.createDataFrame([(i, i % 2) for i in range(n)],
+                                   "id long, label long")
+    sc = {(r["u"], r["v"]): r["score"]
+          for r in same_community_index(pairs, labels).collect()}
+    for (u, v) in want_pairs:
+        assert sc[(u, v)] == (1.0 if u % 2 == v % 2 else 0.0)
+
+    # Katz on a small pair set vs walk-counting oracle
+    some = sorted(want_pairs)[:20]
+    kz = {(r["u"], r["v"]): r["score"] for r in katz_index(
+        g, spark.createDataFrame(some, "u long, v long"),
+        beta=0.05, max_path_length=4).collect()}
+    import numpy as np
+    A = np.zeros((n, n))
+    for (u, v) in eset:
+        A[u, v] = 1
+    acc = np.zeros((n, n))
+    P = np.eye(n)
+    for ln in range(1, 5):
+        P = P @ A
+        acc += (0.05 ** ln) * P
+    for (u, v) in some:
+        assert kz[(u, v)] == pytest.approx(acc[u, v], rel=1e-9)
+
+
+def test_thresholder_sampler_and_metrics(spark):
+    from networkit_spark.operators.linkpred import (
+        auc, precision_recall_curve, random_link_sampler, roc_curve,
+        threshold_by_count, threshold_by_percentage, threshold_by_score,
+    )
+
+    preds = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8), (1, 2, 0.4), (2, 3, 0.2)],
+        "u long, v long, score double")
+    assert {(r["u"], r["v"]) for r in threshold_by_score(preds, 0.5).collect()} \
+        == {(0, 1), (0, 2)}
+    assert threshold_by_count(preds, 3).count() == 3
+    assert threshold_by_percentage(preds, 0.5).count() == 2
+
+    test_edges = spark.createDataFrame([(0, 1), (1, 2)], "u long, v long")
+    roc = roc_curve(preds, test_edges)
+    a = auc(roc)
+    # perfect separation would be 1.0; here positives rank 1st and 3rd:
+    # curve points (fpr,tpr): (0,.5) (.5,.5) (.5,1) (1,1) -> area 0.75
+    assert a == pytest.approx(0.75)
+    pr = precision_recall_curve(preds, test_edges)
+    rows = {(round(r["recall"], 3), round(r["precision"], 3))
+            for r in pr.collect()}
+    assert (0.5, 1.0) in rows and (1.0, 0.667) in rows
+
+    g = Graph.from_rows(spark, [(i, i + 1) for i in range(40)],
+                        directed=False)
+    sub = random_link_sampler(g, 0.5, seed=7)
+    kept = sub.num_edges()
+    assert 0 < kept < 40
+    # determinism
+    assert random_link_sampler(g, 0.5, seed=7).num_edges() == kept
