@@ -454,6 +454,29 @@ def q_corpus_components(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# exact path-based centralities on the small pp(p_size=1) subgraph
+# ---------------------------------------------------------------------------
+
+def q_betweenness_pps1(spark, sf_dir):
+    from networkit_spark.operators.betweenness import betweenness
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return betweenness(g).select("id", _r6(F.col("score")).alias("score"))
+
+
+def q_harmonic_pps1(spark, sf_dir):
+    from networkit_spark.operators.closeness import harmonic_closeness
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return harmonic_closeness(g).select(
+        "id", _r6(F.col("score")).alias("score"))
+
+
+def q_ecc_pps1(spark, sf_dir):
+    from networkit_spark.operators.closeness import eccentricity
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return eccentricity(g)
+
+
+# ---------------------------------------------------------------------------
 # partition quality / similarity measures
 # ---------------------------------------------------------------------------
 
@@ -554,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,
         "events_top_users": q_events_top_users,
+        "betweenness_pps1": q_betweenness_pps1,
+        "harmonic_pps1": q_harmonic_pps1,
+        "ecc_pps1": q_ecc_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
         "partition_sim_pp": q_partition_sim_pp,

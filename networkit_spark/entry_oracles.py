@@ -134,6 +134,63 @@ core{i} AS MATERIALIZED (
     return ",\n".join(parts)
 
 
+def _brandes_unrolled(L: int = 12) -> str:
+    """CTE chain computing exact Brandes betweenness on the pp(p_size=1)
+    subgraph via unrolled walk counts: σ(s,v) = #walks of length
+    dist(s,v) (minimal-length walks ARE the shortest paths), then the
+    dependency recursion δ unrolled per level descending. L=12 covers
+    the sf0.01 diameter of 9 with margin. Produces CTEs: pv, psym,
+    dist, sigma, delta0..delta{L-1}, bc."""
+    walks = ["w0 AS MATERIALIZED (SELECT id AS s, id AS v, 1.0 AS c FROM pv)"]
+    for l in range(1, L + 1):
+        walks.append(f"""
+w{l} AS MATERIALIZED (
+  SELECT w.s, e.dst AS v, SUM(w.c) AS c
+  FROM w{l-1} w JOIN psym e ON e.src = w.v GROUP BY 1, 2
+)""")
+    alls = "\n  UNION ALL\n  ".join(
+        f"SELECT s, v, {l} AS l, c FROM w{l}" for l in range(L + 1))
+    deltas = [f"""
+delta{L} AS (SELECT s, v, 0.0 AS delta FROM sigma WHERE 1 = 0)"""]
+    for l in range(L - 1, -1, -1):
+        deltas.append(f"""
+delta{l} AS MATERIALIZED (
+  SELECT cur.s, cur.v,
+         SUM(cur.sigma / nxt.sigma * (1.0 + COALESCE(dn.delta, 0.0))) AS delta
+  FROM sigma cur
+  JOIN psym e ON e.src = cur.v
+  JOIN sigma nxt ON nxt.s = cur.s AND nxt.v = e.dst AND nxt.d = {l + 1}
+  LEFT JOIN delta{l+1} dn ON dn.s = nxt.s AND dn.v = nxt.v
+  WHERE cur.d = {l}
+  GROUP BY 1, 2
+)""")
+    all_deltas = "\n  UNION ALL\n  ".join(
+        f"SELECT s, v, delta FROM delta{l}" for l in range(L))
+    return f"""
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+{",".join(walks)},
+alls AS MATERIALIZED (
+  {alls}
+),
+dist AS MATERIALIZED (SELECT s, v, MIN(l) AS d FROM alls GROUP BY 1, 2),
+sigma AS MATERIALIZED (
+  SELECT a.s, a.v, d.d, a.c AS sigma
+  FROM alls a JOIN dist d ON d.s = a.s AND d.v = a.v AND d.d = a.l
+),
+{",".join(deltas)},
+bc AS (
+  SELECT v AS id, SUM(delta) AS score FROM (
+  {all_deltas}
+  ) WHERE s <> v GROUP BY v
+)
+"""
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = _h(999)
     votes = ",\n    ".join(
@@ -709,6 +766,32 @@ FROM events GROUP BY 1
 SELECT user_id, COUNT(*) AS n
 FROM events GROUP BY 1
 ORDER BY n DESC, user_id ASC LIMIT 20
+"""
+
+    # -- exact path-based centralities on pp(p_size=1) --------------------
+    o["betweenness_pps1"] = f"""
+WITH {PP},
+{_brandes_unrolled(12)}
+SELECT p.id, (ROUND(COALESCE(b.score, 0.0), 6) + 0.0) AS score
+FROM pv p LEFT JOIN bc b ON b.id = p.id
+"""
+
+    o["harmonic_pps1"] = f"""
+WITH {PP},
+{_brandes_unrolled(12)}
+SELECT p.id, (ROUND(COALESCE(h.score, 0.0), 6) + 0.0) AS score
+FROM pv p LEFT JOIN (
+  SELECT s AS id, SUM(1.0 / d) AS score FROM dist WHERE d > 0 GROUP BY s
+) h ON h.id = p.id
+"""
+
+    o["ecc_pps1"] = f"""
+WITH {PP},
+{_brandes_unrolled(12)}
+SELECT p.id, CAST(COALESCE(e.ecc, 0) AS BIGINT) AS ecc
+FROM pv p LEFT JOIN (
+  SELECT s AS id, MAX(d) AS ecc FROM dist GROUP BY s
+) e ON e.id = p.id
 """
 
     # -- partition quality / similarity -----------------------------------

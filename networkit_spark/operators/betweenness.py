@@ -1,0 +1,212 @@
+"""Betweenness centrality — batched multi-source Brandes.
+
+Reference: /root/reference/networkit/cpp/centrality/Betweenness.cpp:28-120
+(exact, all sources; no halving on undirected graphs — each unordered
+pair contributes twice, cf. the golden bc[2]=15 in
+CentralityGTest.cpp:42-70), EstimateBetweenness.cpp (sampled sources,
+scores scaled by n/#samples), and the edge-centrality accumulation
+(Betweenness.cpp:75-96). Unweighted shortest paths (BFS); the reference's
+weighted-Dijkstra variant is out of scope here.
+
+Distributed shape — ALL sources run simultaneously, keyed by (s, v):
+  forward: level-synchronous multi-source BFS accumulating σ (number of
+    shortest s→v paths): one join + one anti-join + one aggregation per
+    level; per-level frontiers are persisted and kept (they are exactly
+    the strata the backward pass needs).
+  backward: dependency accumulation per descending level —
+    δ(v) = Σ_{w : dist(w)=dist(v)+1, (v,w)∈E} σ_v/σ_w · (1 + δ(w)) —
+    one join per level against the stored strata.
+  bc(v) = Σ_s δ_s(v). State is O(#sources · reachable set); use
+  ``estimate_betweenness`` (sampled sources) at scale — exact all-source
+  betweenness is quadratic no matter the engine.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _sym_edges(g: Graph) -> DataFrame:
+    e = g.edges.filter("src != dst").select("src", "dst")
+    if g.directed:
+        return e.distinct()
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _cut(df: DataFrame, workdir: str, name: str) -> DataFrame:
+    """Parquet round-trip lineage cut (the engine's standard — see
+    plans/superstep.py): each BFS level's plan references every earlier
+    level, so without a cut the LOGICAL plan tree (not the data) grows
+    exponentially with depth — karate at depth 6 already OOMs the driver
+    on plan stringification. A read-back scan is O(1) plan size."""
+    path = os.path.join(workdir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _brandes(g: Graph, sources: DataFrame, workdir: str,
+             max_depth: int = 1 << 20):
+    """Returns (levels, sym): levels[l] = (s, v, sigma) stratum DataFrames
+    of the multi-source shortest-path DAG (each a parquet-cut scan)."""
+    sym = _sym_edges(g).repartition("src").persist()
+    frontier = _cut(sources.select(F.col("s"), F.col("s").alias("v"),
+                                   F.lit(1.0).alias("sigma")),
+                    workdir, "lv0")
+    levels = [frontier]
+    depth = 0
+    while depth < max_depth:
+        visited = levels[0].select("s", "v")
+        for lv in levels[1:]:
+            visited = visited.union(lv.select("s", "v"))
+        msgs = (
+            levels[-1].join(sym.withColumnRenamed("src", "v"), "v")
+            .select("s", F.col("dst").alias("v"), "sigma")
+        )
+        nxt = _cut(
+            msgs.groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "v"], "left_anti"),
+            workdir, f"lv{depth + 1}")
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        depth += 1
+    return levels, sym
+
+
+def _accumulate(levels, sym, workdir):
+    """Backward pass: per-source dependencies δ(s, v), all levels."""
+    deltas = None  # union of (s, v, delta) across processed levels
+    delta_above = None  # (s, v, delta) for level l+1
+    for l in range(len(levels) - 2, -1, -1):
+        above = levels[l + 1]
+        if delta_above is not None:
+            above = above.join(delta_above, ["s", "v"], "left").select(
+                "s", "v", "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"))
+        else:
+            above = above.select("s", "v", "sigma",
+                                 F.lit(0.0).alias("delta"))
+        contrib = (
+            levels[l].join(sym.withColumnRenamed("src", "v"), "v")
+            .select("s", "v", "sigma", F.col("dst").alias("w"))
+            .join(above.select("s", F.col("v").alias("w"),
+                               F.col("sigma").alias("sigma_w"),
+                               F.col("delta").alias("delta_w")),
+                  ["s", "w"])
+            .groupBy("s", "v")
+            .agg(F.sum(F.col("sigma") / F.col("sigma_w")
+                       * (1.0 + F.col("delta_w"))).alias("delta"))
+        )
+        contrib = _cut(contrib, workdir, f"delta{l}")
+        delta_above = contrib
+        deltas = contrib if deltas is None else deltas.union(contrib)
+    return deltas
+
+
+def betweenness(g: Graph, normalized: bool = False,
+                sources: DataFrame | None = None,
+                scale: float = 1.0) -> DataFrame:
+    """(id, score): exact Brandes betweenness (all sources), or partial
+    over a given source set. Matches the reference's un-halved undirected
+    convention (Betweenness.cpp; bc[2]=15 golden)."""
+    if sources is None:
+        sources = g.vertices.select(F.col("id").alias("s"))
+    workdir = tempfile.mkdtemp(prefix="nks-bw-")
+    levels, sym = _brandes(g, sources, workdir)
+    deltas = _accumulate(levels, sym, workdir)
+    if deltas is None:
+        out = g.vertices.select("id", F.lit(0.0).alias("score"))
+    else:
+        bc = (
+            deltas.filter(F.col("s") != F.col("v"))
+            .groupBy(F.col("v").alias("id"))
+            .agg((F.sum("delta") * F.lit(scale)).alias("score"))
+        )
+        out = g.vertices.join(bc, "id", "left").select(
+            "id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    if normalized:
+        n = g.vertices.count()
+        pairs = (n - 1) * (n - 2)
+        if not g.directed:
+            pairs //= 2
+        out = out.select("id", (F.col("score") / F.lit(float(pairs)))
+                         .alias("score"))
+    out = out.persist()
+    out.count()
+    sym.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def estimate_betweenness(g: Graph, n_samples: int, seed: int = 42,
+                         normalized: bool = False) -> DataFrame:
+    """EstimateBetweenness: Brandes from ``n_samples`` deterministic
+    hash-sampled sources, δ sums scaled by n/#samples
+    (EstimateBetweenness.cpp sampling estimator)."""
+    n = g.vertices.count()
+    k = min(n_samples, n)
+    sources = (
+        g.vertices.select(F.col("id").alias("s"))
+        .orderBy(F.xxhash64("s", F.lit(seed)))
+        .limit(k)
+    )
+    return betweenness(g, normalized=normalized, sources=sources,
+                       scale=float(n) / float(k))
+
+
+def edge_betweenness(g: Graph, sources: DataFrame | None = None) -> DataFrame:
+    """(src, dst, score): per-edge betweenness — the DAG-edge
+    contribution σ_v/σ_w·(1+δ(w)) summed over sources
+    (Betweenness.cpp computeEdgeCentrality)."""
+    if sources is None:
+        sources = g.vertices.select(F.col("id").alias("s"))
+    workdir = tempfile.mkdtemp(prefix="nks-bw-")
+    levels, sym = _brandes(g, sources, workdir)
+    per_edge = None
+    delta_above = None
+    for l in range(len(levels) - 2, -1, -1):
+        above = levels[l + 1]
+        if delta_above is not None:
+            above = above.join(delta_above, ["s", "v"], "left").select(
+                "s", "v", "sigma",
+                F.coalesce("delta", F.lit(0.0)).alias("delta"))
+        else:
+            above = above.select("s", "v", "sigma",
+                                 F.lit(0.0).alias("delta"))
+        dag = (
+            levels[l].join(sym.withColumnRenamed("src", "v"), "v")
+            .select("s", "v", "sigma", F.col("dst").alias("w"))
+            .join(above.select("s", F.col("v").alias("w"),
+                               F.col("sigma").alias("sigma_w"),
+                               F.col("delta").alias("delta_w")),
+                  ["s", "w"])
+            .select("s", "v", "w",
+                    (F.col("sigma") / F.col("sigma_w")
+                     * (1.0 + F.col("delta_w"))).alias("c"))
+        )
+        edge_c = _cut(dag.groupBy("v", "w").agg(F.sum("c").alias("score")),
+                      workdir, f"ec{l}")
+        per_edge = edge_c if per_edge is None else per_edge.union(edge_c)
+        delta_above = _cut(
+            dag.groupBy("s", "v").agg(F.sum("c").alias("delta")),
+            workdir, f"ed{l}")
+    if per_edge is None:
+        out = g.edges.select("src", "dst", F.lit(0.0).alias("score"))
+    else:
+        out = (
+            per_edge.groupBy(F.col("v").alias("src"), F.col("w").alias("dst"))
+            .agg(F.sum("score").alias("score"))
+        )
+    out = out.persist()
+    out.count()
+    sym.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

@@ -1,0 +1,188 @@
+"""Closeness family + eccentricity + diameter over multi-source BFS.
+
+Reference semantics:
+  - Closeness.cpp:33-66 — closeness(s) = 1/Σ_t dist(s,t) over REACHABLE
+    t; normalized multiplies by (n−1); undefined on disconnected graphs
+    when checkConnectedness (we mirror the throw).
+  - HarmonicCloseness.cpp:20-50 — harmonic(s) = Σ_{t≠s} 1/dist(s,t)
+    (unreachable contributes 0 — no connectedness requirement);
+    normalized divides by (n−1).
+  - ApproxCloseness.cpp — sampled-source estimator: Σdist estimated as
+    (n/k)·Σ_{sampled s} dist(s, v).
+  - TopCloseness.cpp — top-k by (closeness desc, id asc). The
+    reference prunes per-node BFS with NBcut bounds; distributed batch
+    BFS computes all sources at once, so ranking the full result is the
+    natural equivalent (the pruning exists to serialize less work on one
+    machine, not to change the answer).
+  - Eccentricity.cpp / Diameter.cpp — ecc(v) = max dist; exact diameter
+    = max ecc; the estimate mode is the classic double-sweep lower
+    bound.
+
+All built on the batched multi-source BFS of operators/betweenness
+(levels[l] = vertices first reached at distance l, parquet-cut per
+level): distances never materialize as an n×n table — per-source
+aggregates fold each level as it streams.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.betweenness import _brandes
+
+
+def _dist_rows(g: Graph, sources: DataFrame | None = None):
+    """(s, v, d) for all finite distances d ≥ 1, via BFS strata."""
+    if sources is None:
+        sources = g.vertices.select(F.col("id").alias("s"))
+    workdir = tempfile.mkdtemp(prefix="nks-close-")
+    levels, sym = _brandes(g, sources, workdir)
+    rows = None
+    for l, lv in enumerate(levels):
+        if l == 0:
+            continue
+        r = lv.select("s", "v", F.lit(l).cast("long").alias("d"))
+        rows = r if rows is None else rows.union(r)
+    sym.unpersist()
+    return rows, workdir
+
+
+def closeness(g: Graph, normalized: bool = False,
+              check_connected: bool = True) -> DataFrame:
+    """(id, score): 1/Σdist, reference Closeness.cpp semantics."""
+    if check_connected:
+        from networkit_spark.operators.components import (
+            connected_components, num_components)
+        if num_components(connected_components(g)) != 1:
+            raise ValueError("Closeness is undefined on disconnected graphs")
+    rows, workdir = _dist_rows(g)
+    n = g.vertices.count()
+    agg = rows.groupBy("s").agg((1.0 / F.sum("d")).alias("score"))
+    if normalized:
+        agg = agg.select("s", (F.col("score") * F.lit(float(n - 1)))
+                         .alias("score"))
+    out = g.vertices.join(agg.withColumnRenamed("s", "id"), "id", "left") \
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score")) \
+        .persist()
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def harmonic_closeness(g: Graph, normalized: bool = False) -> DataFrame:
+    """(id, score): Σ 1/dist — defined on disconnected graphs."""
+    rows, workdir = _dist_rows(g)
+    n = g.vertices.count()
+    agg = rows.groupBy("s").agg(F.sum(1.0 / F.col("d")).alias("score"))
+    if normalized:
+        agg = agg.select("s", (F.col("score") / F.lit(float(n - 1)))
+                         .alias("score"))
+    out = g.vertices.join(agg.withColumnRenamed("s", "id"), "id", "left") \
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score")) \
+        .persist()
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def approx_closeness(g: Graph, n_samples: int, seed: int = 42,
+                     normalized: bool = False) -> DataFrame:
+    """ApproxCloseness: closeness from k hash-sampled BFS sources —
+    Σdist(v) estimated as (n/k)·Σ_{sampled s} dist(s, v). Exact when
+    n_samples ≥ n."""
+    n = g.vertices.count()
+    k = min(n_samples, n)
+    sources = (
+        g.vertices.select(F.col("id").alias("s"))
+        .orderBy(F.xxhash64("s", F.lit(seed))).limit(k)
+    )
+    rows, workdir = _dist_rows(g, sources)
+    # aggregate over TARGET v: by symmetry of undirected BFS this
+    # estimates each v's distance sum from the sampled sources
+    agg = rows.groupBy(F.col("v").alias("id")).agg(
+        (1.0 / (F.sum("d") * F.lit(float(n) / float(k)))).alias("score"))
+    if normalized:
+        agg = agg.select("id", (F.col("score") * F.lit(float(n - 1)))
+                         .alias("score"))
+    out = g.vertices.join(agg, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score")).persist()
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def top_closeness(g: Graph, k: int, normalized: bool = False) -> DataFrame:
+    """TopCloseness: the k most-central nodes (closeness desc, id asc)."""
+    return (closeness(g, normalized=normalized, check_connected=False)
+            .orderBy(F.desc("score"), F.asc("id")).limit(k))
+
+
+def eccentricity(g: Graph) -> DataFrame:
+    """(id, ecc): max finite distance per node (Eccentricity.cpp)."""
+    rows, workdir = _dist_rows(g)
+    agg = rows.groupBy(F.col("s").alias("id")).agg(F.max("d").alias("ecc"))
+    out = g.vertices.join(agg, "id", "left").select(
+        "id", F.coalesce("ecc", F.lit(0)).cast("long").alias("ecc")).persist()
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out
+
+
+def diameter(g: Graph, algo: str = "exact", seed: int = 42) -> int:
+    """Exact diameter (max eccentricity over all-source BFS) or the
+    double-sweep lower-bound estimate (Diameter.cpp estimate modes):
+    BFS from a pivot, then BFS from its farthest node — 2 BFS total."""
+    if algo == "exact":
+        rows, workdir = _dist_rows(g)
+        d = rows.agg(F.max("d")).collect()[0][0]
+        shutil.rmtree(workdir, ignore_errors=True)
+        return int(d or 0)
+    if algo != "estimate":
+        raise ValueError(f"unknown diameter algo: {algo}")
+    pivot = (g.vertices.orderBy(F.xxhash64("id", F.lit(seed)))
+             .limit(1).collect()[0]["id"])
+    spark = g.edges.sparkSession
+    s1 = spark.createDataFrame([(int(pivot),)], "s long")
+    rows, workdir = _dist_rows(g, s1)
+    far = rows.orderBy(F.desc("d"), F.asc("v")).limit(1).collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    if not far:
+        return 0
+    s2 = spark.createDataFrame([(int(far[0]["v"]),)], "s long")
+    rows2, workdir2 = _dist_rows(g, s2)
+    d = rows2.agg(F.max("d")).collect()[0][0]
+    shutil.rmtree(workdir2, ignore_errors=True)
+    return int(d or 0)
+
+
+def group_degree(g: Graph, k: int) -> list[int]:
+    """GroupDegree.cpp greedy: repeatedly add the node covering the most
+    uncovered neighbors. k driver rounds of one aggregation each."""
+    sym = g.edges.filter("src != dst").select("src", "dst")
+    sym = sym.union(sym.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct().persist()
+    covered = None
+    group: list[int] = []
+    for _ in range(k):
+        cand = sym
+        if group:
+            in_group = F.col("src").isin(group)
+            cand = cand.filter(~in_group)
+        if covered is not None:
+            cand = cand.join(covered, cand.dst == covered.c, "left_anti")
+        best = (cand.groupBy("src").agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.desc("gain"), F.asc("src")).limit(1).collect())
+        if not best:
+            break
+        pick = int(best[0]["src"])
+        group.append(pick)
+        newly = sym.filter(F.col("src") == pick).select(
+            F.col("dst").alias("c"))
+        covered = newly if covered is None else covered.union(newly).distinct()
+        covered = covered.persist()
+    sym.unpersist()
+    return group

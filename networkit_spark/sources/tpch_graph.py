@@ -103,3 +103,18 @@ SQL_EDGES_PP = """
 """
 
 SQL_VERTICES_PP = "SELECT p_partkey AS id FROM part"
+
+
+def graph_pp_size1(spark: SparkSession, sf_dir: str) -> Graph:
+    """pp subgraph induced on parts with p_size = 1 (~40 nodes at
+    sf0.01, sparse, 2 components, diameter ~9) — the fixture for the
+    exact path-based centralities (betweenness / closeness /
+    eccentricity), small enough that their quadratic-by-nature exact
+    variants get full-value DuckDB oracles."""
+    pv = load(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        F.col("p_partkey").alias("id"))
+    e = edges_part_part(spark, sf_dir)
+    e = (e.join(pv.withColumnRenamed("id", "src"), "src", "left_semi")
+         .join(pv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+         .select("src", "dst", "weight"))
+    return Graph(e, directed=False, weighted=False, vertices=pv)

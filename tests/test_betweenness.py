@@ -1,0 +1,89 @@
+"""Betweenness vs the reference goldens and a python Brandes oracle."""
+
+from collections import defaultdict, deque
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.betweenness import (
+    betweenness, edge_betweenness, estimate_betweenness,
+)
+
+# the reference's 6-node fixture (CentralityGTest.cpp:42-70)
+BC6_EDGES = [(0, 2), (1, 2), (2, 3), (2, 4), (3, 5), (4, 5)]
+BC6_GOLDEN = {0: 0.0, 1: 0.0, 2: 15.0, 3: 3.0, 4: 3.0, 5: 1.0}
+
+
+def _brandes_oracle(edges, n):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    bc = {v: 0.0 for v in range(n)}
+    for s in range(n):
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        preds = defaultdict(list)
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_reference_golden(spark):
+    g = Graph.from_rows(spark, BC6_EDGES, directed=False)
+    got = {r["id"]: r["score"] for r in betweenness(g).collect()}
+    for v, want in BC6_GOLDEN.items():
+        assert got[v] == pytest.approx(want, abs=1e-9)
+
+
+def test_betweenness_karate_vs_oracle(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    got = {r["id"]: r["score"] for r in betweenness(g).collect()}
+    want = _brandes_oracle(edges, n)
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], rel=1e-9)
+
+
+def test_estimate_with_all_sources_is_exact(spark):
+    g = Graph.from_rows(spark, BC6_EDGES, directed=False)
+    got = {r["id"]: r["score"]
+           for r in estimate_betweenness(g, n_samples=6).collect()}
+    for v, want in BC6_GOLDEN.items():
+        assert got[v] == pytest.approx(want, abs=1e-9)
+
+
+def test_normalized(spark):
+    g = Graph.from_rows(spark, BC6_EDGES, directed=False)
+    got = {r["id"]: r["score"]
+           for r in betweenness(g, normalized=True).collect()}
+    pairs = (6 - 1) * (6 - 2) / 2  # undirected: (n-1)(n-2)/2
+    assert got[2] == pytest.approx(15.0 / pairs)
+
+
+def test_edge_betweenness_path(spark):
+    # P3: 0-1-2. Ordered pairs: each edge carries (0,1),(1,0) style
+    # dependencies; summed over both orientations each edge gets 4
+    g = Graph.from_rows(spark, [(0, 1), (1, 2)], directed=False)
+    rows = edge_betweenness(g).collect()
+    canon = defaultdict(float)
+    for r in rows:
+        canon[tuple(sorted((r["src"], r["dst"])))] += r["score"]
+    assert canon[(0, 1)] == pytest.approx(4.0)
+    assert canon[(1, 2)] == pytest.approx(4.0)
