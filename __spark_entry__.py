@@ -452,6 +452,14 @@ def q_corpus_components(spark, sf_dir):
     return component_sizes(connected_components(g, algorithm="star"))
 
 
+def q_corpus_scc(spark, sf_dir):
+    """StronglyConnectedComponents on the directed md5 corpus graph
+    (import graphs ARE directed — weak CC alone loses cycle structure)."""
+    from networkit_spark.operators.scc import strongly_connected_components
+    g = _corpus_graph_md5(spark)
+    return strongly_connected_components(g)
+
+
 
 # ---------------------------------------------------------------------------
 # exact path-based centralities on the small pp(p_size=1) subgraph
@@ -585,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_sim_pp": q_partition_sim_pp,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,
+        "corpus_scc": q_corpus_scc,
     }
 
 

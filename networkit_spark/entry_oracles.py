@@ -923,4 +923,16 @@ cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
 SELECT component, COUNT(*) AS size FROM cc GROUP BY 1
 """
 
+    o["corpus_scc"] = f"""
+WITH RECURSIVE {_corpus_cte()},
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN g_edges e ON e.src = r.b
+)
+SELECT r1.a AS id, MAX(r1.b) AS component
+FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+GROUP BY r1.a
+"""
+
     return o
