@@ -272,6 +272,19 @@ def q_sparsify_jaccard_pp(spark, sf_dir):
     )
 
 
+def q_sparsify_scan_pp(spark, sf_dir):
+    from networkit_spark.operators.sparsification import scan_scores
+    g = TG.graph_part_part(spark, sf_dir)
+    return scan_scores(g).select("lo", "hi", _r6(F.col("score")).alias("score"))
+
+
+def q_sparsify_local_degree_pp(spark, sf_dir):
+    from networkit_spark.operators.sparsification import local_degree_scores
+    g = TG.graph_part_part(spark, sf_dir)
+    return local_degree_scores(g).select(
+        "lo", "hi", _r6(F.col("score")).alias("score"))
+
+
 def q_edge_ids_pp(spark, sf_dir):
     from networkit_spark.operators.graph_tools import index_edges
     g = TG.graph_part_part(spark, sf_dir)
@@ -567,6 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_pp": q_kcore_pp,
         "nf_pp_h3": q_nf_pp_h3,
         "sparsify_jaccard_pp": q_sparsify_jaccard_pp,
+        "sparsify_scan_pp": q_sparsify_scan_pp,
+        "sparsify_local_degree_pp": q_sparsify_local_degree_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,
         "missing_links_count_pp": q_missing_links_count_pp,

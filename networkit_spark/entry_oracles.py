@@ -569,6 +569,44 @@ WITH {PP},
 SELECT id, core FROM core24
 """
 
+    o["sparsify_scan_pp"] = tri + """
+, epair AS (
+  SELECT a AS x, b AS y FROM tri
+  UNION ALL SELECT a, c FROM tri
+  UNION ALL SELECT b, c FROM tri
+),
+etri AS (SELECT x, y, COUNT(*) AS t FROM epair GROUP BY 1, 2),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1)
+SELECT e.src AS lo, e.dst AS hi,
+       (ROUND((COALESCE(t.t, 0) + 1)
+              / SQRT((d1.deg + 1) * (d2.deg + 1)), 6) + 0.0) AS score
+FROM pp_edges e
+LEFT JOIN etri t ON t.x = e.src AND t.y = e.dst
+JOIN deg d1 ON d1.id = e.src
+JOIN deg d2 ON d2.id = e.dst
+"""
+
+    o["sparsify_local_degree_pp"] = f"""
+WITH {PP},
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1),
+ranked AS (
+  SELECT s.src, s.dst, de.deg AS edeg,
+         RANK() OVER (PARTITION BY s.src ORDER BY dn.deg DESC) AS rnk
+  FROM pp_sym s
+  JOIN deg dn ON dn.id = s.dst
+  JOIN deg de ON de.id = s.src
+),
+scored AS (
+  SELECT src, dst,
+         CASE WHEN edeg <= 1 THEN 1.0
+              ELSE 1.0 - LN(rnk) / LN(edeg) END AS e
+  FROM ranked
+)
+SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+       (ROUND(MAX(e), 6) + 0.0) AS score
+FROM scored GROUP BY 1, 2
+"""
+
     o["edge_ids_pp"] = f"""
 WITH {PP}
 SELECT src, dst,

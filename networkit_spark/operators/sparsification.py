@@ -114,3 +114,144 @@ def score_as_weight(g: Graph, scores: DataFrame) -> Graph:
         .select("src", "dst", F.coalesce("score", F.lit(0.0)).alias("weight"))
     )
     return Graph(e, directed=g.directed, weighted=True)
+
+
+def _sym_with_deg(g: Graph):
+    """((src,dst) both orientations, deg table) for the per-ego windows."""
+    e = _distinct_edges(g)
+    sym = e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
+        e.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    return sym, deg
+
+
+def scan_scores(g: Graph) -> DataFrame:
+    """(lo, hi, score): SCAN structural similarity
+    (SCANStructuralSimilarityScore.cpp:11):
+    (triangles(e) + 1) / sqrt((deg(u)+1)·(deg(v)+1))."""
+    _, deg = _sym_with_deg(g)
+    tri = triangle_edge_scores(g)
+    return (
+        tri.join(deg.withColumnRenamed("id", "lo")
+                 .withColumnRenamed("deg", "dlo"), "lo")
+        .join(deg.withColumnRenamed("id", "hi")
+              .withColumnRenamed("deg", "dhi"), "hi")
+        .select("lo", "hi",
+                ((F.col("triangles") + 1)
+                 / F.sqrt((F.col("dlo") + 1) * (F.col("dhi") + 1)))
+                .alias("score"))
+    )
+
+
+def local_degree_scores(g: Graph) -> DataFrame:
+    """(lo, hi, score): LocalDegreeScore.cpp:40-84 — per ego i, rank
+    neighbors by degree DESC with competition ranking (ties share), edge
+    exponent e = 1 − log(rank)/log(deg(i)) (1 if deg ≤ 1), final score =
+    max over the two egos. One window over the sym edge table."""
+    from pyspark.sql import Window
+
+    sym, deg = _sym_with_deg(g)
+    per_ego = (
+        sym.join(deg.withColumnRenamed("id", "dst")
+                 .withColumnRenamed("deg", "ndeg"), "dst")
+        .join(deg.withColumnRenamed("id", "src")
+              .withColumnRenamed("deg", "edeg"), "src")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("ndeg"))
+    scored = per_ego.withColumn("rank", F.rank().over(w)).select(
+        "src", "dst",
+        F.when(F.col("edeg") <= 1, F.lit(1.0))
+        .otherwise(1.0 - F.log("rank") / F.log("edeg")).alias("e"))
+    return (
+        scored.groupBy(F.least("src", "dst").alias("lo"),
+                       F.greatest("src", "dst").alias("hi"))
+        .agg(F.max("e").alias("score"))
+    )
+
+
+def local_similarity_scores(g: Graph) -> DataFrame:
+    """(lo, hi, score): LocalSimilarityScore.cpp:28-64 — per ego i, rank
+    neighbors by edge Jaccard triangles/(deg_i+deg_j−triangles) DESC
+    (ordinal rank, ties broken by smaller neighbor id first), exponent
+    1 − log(rank)/log(deg(i)); score = max over egos."""
+    from pyspark.sql import Window
+
+    sym, deg = _sym_with_deg(g)
+    tri = triangle_edge_scores(g)
+    sym_tri = (
+        sym.join(tri, (F.least("src", "dst") == F.col("lo"))
+                 & (F.greatest("src", "dst") == F.col("hi")))
+        .join(deg.withColumnRenamed("id", "src")
+              .withColumnRenamed("deg", "edeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst")
+              .withColumnRenamed("deg", "ndeg"), "dst")
+        .select("src", "dst", "edeg",
+                (F.col("triangles")
+                 / (F.col("edeg") + F.col("ndeg") - F.col("triangles")))
+                .alias("sim"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    scored = sym_tri.withColumn("rank", F.row_number().over(w)).select(
+        "src", "dst",
+        F.when(F.col("edeg") <= 1, F.lit(1.0))
+        .otherwise(1.0 - F.log("rank") / F.log("edeg")).alias("e"))
+    return (
+        scored.groupBy(F.least("src", "dst").alias("lo"),
+                       F.greatest("src", "dst").alias("hi"))
+        .agg(F.max("e").alias("score"))
+    )
+
+
+def multiscale_scores(g: Graph) -> DataFrame:
+    """(lo, hi, score): MultiscaleScore.cpp:20-62 — per ego i normalize
+    incident weights p = w/Σw; significance = 1 − (1−p)^(deg−1); score =
+    max over egos (the multiscale-backbone p-value complement)."""
+    e = _distinct_edges(g)
+    w_e = g.edges.filter("src != dst").select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi"),
+        F.col("weight").cast("double").alias("w")
+    ).groupBy("lo", "hi").agg(F.max("w").alias("w"))
+    sym = w_e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), "w") \
+        .union(w_e.select(F.col("hi").alias("src"), F.col("lo").alias("dst"),
+                          "w"))
+    tot = sym.groupBy("src").agg(F.sum("w").alias("sw"),
+                                 F.count(F.lit(1)).alias("k"))
+    scored = sym.join(tot, "src").select(
+        "src", "dst",
+        (1.0 - F.pow(1.0 - F.col("w") / F.col("sw"), F.col("k") - 1))
+        .alias("p"))
+    return (
+        scored.groupBy(F.least("src", "dst").alias("lo"),
+                       F.greatest("src", "dst").alias("hi"))
+        .agg(F.max("p").alias("score"))
+    )
+
+
+def simmelian_overlap_scores(g: Graph, max_rank: int = 10) -> DataFrame:
+    """(lo, hi, score): Simmelian overlap (SimmelianOverlapScore.cpp /
+    SimmelianScore.cpp) — rank each ego's neighbors by per-edge triangle
+    count DESC (competition ranking), score(u,v) = |{w : rank_u(w) ≤
+    maxRank ∧ rank_v(w) ≤ maxRank}| — the number of strong ties the two
+    endpoints share."""
+    from pyspark.sql import Window
+
+    sym, _ = _sym_with_deg(g)
+    tri = triangle_edge_scores(g)
+    sym_tri = sym.join(tri, (F.least("src", "dst") == F.col("lo"))
+                       & (F.greatest("src", "dst") == F.col("hi"))) \
+        .select("src", "dst", "triangles")
+    w = Window.partitionBy("src").orderBy(F.desc("triangles"))
+    top = (sym_tri.withColumn("rank", F.rank().over(w))
+           .filter(F.col("rank") <= max_rank)
+           .select(F.col("src").alias("ego"), F.col("dst").alias("nbr"))
+           .persist())
+    e = _distinct_edges(g)
+    a = top.select(F.col("ego").alias("lo"), "nbr")
+    b = top.select(F.col("ego").alias("hi"), "nbr")
+    overlap = (
+        e.join(a, "lo").join(b, ["hi", "nbr"])
+        .groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("ov"))
+    )
+    return e.join(overlap, ["lo", "hi"], "left").select(
+        "lo", "hi", F.coalesce("ov", F.lit(0)).cast("double").alias("score"))

@@ -1,0 +1,130 @@
+"""New sparsification scores vs python oracles on karate."""
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.sparsification import (
+    local_degree_scores, local_similarity_scores, multiscale_scores,
+    scan_scores, simmelian_overlap_scores,
+)
+
+
+def _build(edges):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = {}
+    for u, v in edges:
+        lo, hi = min(u, v), max(u, v)
+        tri[(lo, hi)] = len(adj[u] & adj[v])
+    return adj, tri
+
+
+def test_scan_scores(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    adj, tri = _build(edges)
+    got = {(r["lo"], r["hi"]): r["score"] for r in scan_scores(g).collect()}
+    for (lo, hi), t in tri.items():
+        want = (t + 1) / math.sqrt((len(adj[lo]) + 1) * (len(adj[hi]) + 1))
+        assert got[(lo, hi)] == pytest.approx(want)
+
+
+def test_local_degree_scores(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    adj, _ = _build(edges)
+    exp = defaultdict(float)
+    for i in adj:
+        d = len(adj[i])
+        ranked = sorted(adj[i], key=lambda j: -len(adj[j]))
+        # competition ranking over degree ties
+        rank_of = {}
+        r = 0
+        prev, same = None, 0
+        for idx, j in enumerate(ranked):
+            dj = len(adj[j])
+            if dj != prev:
+                r = idx + 1
+                prev = dj
+            rank_of[j] = r
+        for j in adj[i]:
+            e = 1.0 if d <= 1 else 1.0 - math.log(rank_of[j]) / math.log(d)
+            key = (min(i, j), max(i, j))
+            exp[key] = max(exp[key], e)
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in local_degree_scores(g).collect()}
+    for k, want in exp.items():
+        assert got[k] == pytest.approx(want), k
+
+
+def test_local_similarity_scores(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    adj, tri = _build(edges)
+    exp = defaultdict(float)
+    for i in adj:
+        d = len(adj[i])
+        sims = []
+        for j in adj[i]:
+            t = tri[(min(i, j), max(i, j))]
+            sims.append((-(t / (d + len(adj[j]) - t)), j))
+        sims.sort()
+        for rank, (_, j) in enumerate(sims, start=1):
+            e = 1.0 if d <= 1 else 1.0 - math.log(rank) / math.log(d)
+            key = (min(i, j), max(i, j))
+            exp[key] = max(exp[key], e)
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in local_similarity_scores(g).collect()}
+    for k, want in exp.items():
+        assert got[k] == pytest.approx(want), k
+
+
+def test_multiscale_scores(spark):
+    edges = [(0, 1, 4.0), (0, 2, 1.0), (1, 2, 2.0), (2, 3, 1.0)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    inc = defaultdict(dict)
+    for u, v, w in edges:
+        inc[u][v] = w
+        inc[v][u] = w
+    exp = defaultdict(float)
+    for u in inc:
+        k = len(inc[u])
+        s = sum(inc[u].values())
+        for v, w in inc[u].items():
+            p = 1.0 - (1.0 - w / s) ** (k - 1)
+            key = (min(u, v), max(u, v))
+            exp[key] = max(exp[key], p)
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in multiscale_scores(g).collect()}
+    for k2, want in exp.items():
+        assert got[k2] == pytest.approx(want), k2
+
+
+def test_simmelian_overlap(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    adj, tri = _build(edges)
+    max_rank = 3
+    top = {}
+    for i in adj:
+        ranked = sorted(adj[i],
+                        key=lambda j: -tri[(min(i, j), max(i, j))])
+        rank_of = {}
+        r, prev = 0, None
+        for idx, j in enumerate(ranked):
+            t = tri[(min(i, j), max(i, j))]
+            if t != prev:
+                r = idx + 1
+                prev = t
+            rank_of[j] = r
+        top[i] = {j for j in adj[i] if rank_of[j] <= max_rank}
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in simmelian_overlap_scores(g, max_rank=max_rank).collect()}
+    for (lo, hi) in tri:
+        want = float(len(top[lo] & top[hi]))
+        assert got[(lo, hi)] == pytest.approx(want), (lo, hi)
