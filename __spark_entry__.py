@@ -285,6 +285,16 @@ def q_sparsify_local_degree_pp(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_algdist_pp(spark, sf_dir):
+    """Algebraic distance edge scores (2 md5-seeded systems, 3 smoothing
+    iterations) — deterministic and DuckDB-reproducible."""
+    from networkit_spark.operators.algebraic import algebraic_edge_scores
+    g = TG.graph_part_part(spark, sf_dir)
+    return algebraic_edge_scores(g, n_systems=2, n_iters=3, omega=0.5,
+                                 norm=2, seed=42, rng="md5").select(
+        "lo", "hi", _r6(F.col("score")).alias("score"))
+
+
 def q_edge_ids_pp(spark, sf_dir):
     from networkit_spark.operators.graph_tools import index_edges
     g = TG.graph_part_part(spark, sf_dir)
@@ -582,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_jaccard_pp": q_sparsify_jaccard_pp,
         "sparsify_scan_pp": q_sparsify_scan_pp,
         "sparsify_local_degree_pp": q_sparsify_local_degree_pp,
+        "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,
         "missing_links_count_pp": q_missing_links_count_pp,

@@ -607,6 +607,66 @@ SELECT LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
 FROM scored GROUP BY 1, 2
 """
 
+    o["algdist_pp"] = f"""
+WITH {PP},
+ld0 AS MATERIALIZED (
+  SELECT id,
+         CAST(('0x' || SUBSTRING(md5(CAST(id AS VARCHAR) || ':0:42'), 1, 15))
+              AS BIGINT) * 8.673617379884035e-19 AS x0,
+         CAST(('0x' || SUBSTRING(md5(CAST(id AS VARCHAR) || ':1:42'), 1, 15))
+              AS BIGINT) * 8.673617379884035e-19 AS x1
+  FROM pp_verts
+),
+m1 AS MATERIALIZED (
+  SELECT s.dst AS id,
+         SUM(1.0 * l.x0) / SUM(1.0) AS m0,
+         SUM(1.0 * l.x1) / SUM(1.0) AS m1
+  FROM pp_sym s JOIN ld0 l ON l.id = s.src GROUP BY 1
+),
+ld1 AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN m.id IS NOT NULL
+              THEN (1.0 - 0.5) * l.x0 + 0.5 * m.m0 ELSE l.x0 END AS x0,
+         CASE WHEN m.id IS NOT NULL
+              THEN (1.0 - 0.5) * l.x1 + 0.5 * m.m1 ELSE l.x1 END AS x1
+  FROM ld0 l LEFT JOIN m1 m ON m.id = l.id
+),
+m2 AS MATERIALIZED (
+  SELECT s.dst AS id,
+         SUM(1.0 * l.x0) / SUM(1.0) AS m0,
+         SUM(1.0 * l.x1) / SUM(1.0) AS m1
+  FROM pp_sym s JOIN ld1 l ON l.id = s.src GROUP BY 1
+),
+ld2 AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN m.id IS NOT NULL
+              THEN (1.0 - 0.5) * l.x0 + 0.5 * m.m0 ELSE l.x0 END AS x0,
+         CASE WHEN m.id IS NOT NULL
+              THEN (1.0 - 0.5) * l.x1 + 0.5 * m.m1 ELSE l.x1 END AS x1
+  FROM ld1 l LEFT JOIN m2 m ON m.id = l.id
+),
+m3 AS MATERIALIZED (
+  SELECT s.dst AS id,
+         SUM(1.0 * l.x0) / SUM(1.0) AS m0,
+         SUM(1.0 * l.x1) / SUM(1.0) AS m1
+  FROM pp_sym s JOIN ld2 l ON l.id = s.src GROUP BY 1
+),
+ld3 AS MATERIALIZED (
+  SELECT l.id,
+         CASE WHEN m.id IS NOT NULL
+              THEN (1.0 - 0.5) * l.x0 + 0.5 * m.m0 ELSE l.x0 END AS x0,
+         CASE WHEN m.id IS NOT NULL
+              THEN (1.0 - 0.5) * l.x1 + 0.5 * m.m1 ELSE l.x1 END AS x1
+  FROM ld2 l LEFT JOIN m3 m ON m.id = l.id
+)
+SELECT e.src AS lo, e.dst AS hi,
+       (ROUND(POWER(POWER(ABS(a.x0 - b.x0), 2.0)
+                    + POWER(ABS(a.x1 - b.x1), 2.0), 0.5), 6) + 0.0) AS score
+FROM pp_edges e
+JOIN ld3 a ON a.id = e.src
+JOIN ld3 b ON b.id = e.dst
+"""
+
     o["edge_ids_pp"] = f"""
 WITH {PP}
 SELECT src, dst,

@@ -218,3 +218,182 @@ def planted_partition_edges(n: int, k: int, p_in: float, p_out: float,
             if rng.random() < p:
                 edges.append((u, v))
     return edges, labels
+
+
+def watts_strogatz_edges(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    p: float,
+    seed: int = 42,
+) -> DataFrame:
+    """Watts–Strogatz small world (cf. reference
+    WattsStrogatzGenerator.cpp:20-50): ring lattice where node i links to
+    its k/2 clockwise neighbors, each edge rewired with probability p to
+    a hash-uniform target. Fully distributed: spark.range(n·k/2) column
+    expressions, counter-based randomness (no driver loop, no shuffle
+    until dedup). Returns (src, dst) with src != dst, deduplicated."""
+    assert k % 2 == 0 and k < n
+    half = k // 2
+    base = spark.range(n * half).select(
+        (F.col("id") / half).cast("long").alias("i"),
+        (F.pmod(F.col("id"), F.lit(half)) + 1).alias("j"),
+    )
+    lattice_dst = F.pmod(F.col("i") + F.col("j"), F.lit(n))
+    rewire = _u01(F.col("i"), F.col("j"), F.lit(seed), F.lit(0)) < p
+    rand_dst = F.pmod(F.xxhash64("i", "j", F.lit(seed), F.lit(1)),
+                      F.lit(n))
+    dst = F.when(rewire, rand_dst).otherwise(lattice_dst)
+    return (
+        base.select(F.col("i").alias("src"), dst.alias("dst"))
+        .filter("src != dst")
+        .select(F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+
+
+def barabasi_albert_edges(n: int, k: int, n0: int | None = None,
+                          seed: int = 42):
+    """Barabási–Albert preferential attachment (cf. reference
+    BarabasiAlbertGenerator.cpp) via the repeated-endpoints list trick.
+    Sequential by nature — driver-side fixture generator. Returns [(u,v)]."""
+    rng = np.random.default_rng(seed)
+    n0 = n0 or k
+    edges = []
+    targets = list(range(n0))  # attachment pool (endpoint repetition = PA)
+    pool: list[int] = list(range(n0))
+    for v in range(n0, n):
+        chosen = set()
+        while len(chosen) < min(k, len(set(pool))):
+            chosen.add(pool[rng.integers(len(pool))])
+        for u in chosen:
+            edges.append((u, v))
+            pool.append(u)
+            pool.append(v)
+    return edges
+
+
+def chung_lu_edges(weights, seed: int = 42):
+    """Chung–Lu expected-degree model (cf. reference ChungLuGenerator.cpp):
+    p_ij = min(w_i·w_j / Σw, 1). Driver-side fixture generator."""
+    rng = np.random.default_rng(seed)
+    w = np.asarray(weights, dtype=float)
+    s = w.sum()
+    edges = []
+    n = len(w)
+    for u in range(n):
+        for v in range(u + 1, n):
+            if rng.random() < min(w[u] * w[v] / s, 1.0):
+                edges.append((u, v))
+    return edges
+
+
+def havel_hakimi_edges(degrees):
+    """Havel–Hakimi realization of a degree sequence (cf. reference
+    HavelHakimiGenerator.cpp). Raises if the sequence is not graphical.
+    Driver-side fixture generator. Returns [(u,v)]."""
+    seq = sorted(((int(d), i) for i, d in enumerate(degrees)), reverse=True)
+    edges = []
+    while seq:
+        seq.sort(reverse=True)
+        d, u = seq.pop(0)
+        if d == 0:
+            break
+        if d > len(seq):
+            raise ValueError("degree sequence is not graphical")
+        for i in range(d):
+            dv, v = seq[i]
+            if dv == 0:
+                raise ValueError("degree sequence is not graphical")
+            seq[i] = (dv - 1, v)
+            edges.append((min(u, v), max(u, v)))
+    if any(d != 0 for d, _ in seq):
+        raise ValueError("degree sequence is not graphical")
+    return edges
+
+
+def edge_switching(edges: DataFrame, rounds: int = 10,
+                   seed: int = 42) -> DataFrame:
+    """Degree-preserving randomization (cf. reference
+    EdgeSwitchingMarkovChainGenerator.cpp / Graph::swapEdge): per round,
+    edges are hash-paired into buckets of two; a pair (a,b),(c,d) swaps
+    to (a,d),(c,b) unless that would create a self-loop or duplicate
+    edge. Fully distributed — one window + one anti-join per round;
+    deterministic under the seed. Input/output: undirected canonical
+    (src < dst), deduplicated."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    workdir = tempfile.mkdtemp(prefix="nks-swap-")
+
+    def cut(df, name):
+        # parquet lineage cut: each round references the edge set ~6
+        # times (pairing, exists-check, rebuild) — without a cut the
+        # logical plan grows 6^rounds (see plans/superstep.py)
+        path = os.path.join(workdir, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = cut(edges.select(F.least("src", "dst").alias("src"),
+                         F.greatest("src", "dst").alias("dst")).distinct(),
+            "r0")
+    m = e.count()
+    for r in range(rounds):
+        # hash-bucket pairing (NO global sort): ~m/2 buckets, the first
+        # two edges per bucket (by hash order) form a swap pair, any
+        # further bucket members pass through unchanged this round
+        key = F.xxhash64("src", "dst", F.lit(seed), F.lit(r))
+        n_buckets = max(m // 2, 1)
+        numbered = e.withColumn("_pair", F.pmod(key, F.lit(n_buckets)))
+        w = Window.partitionBy("_pair").orderBy(key)
+        pair = numbered.withColumn("_rn", F.row_number().over(w))
+        passthrough = pair.filter("_rn > 2").select("src", "dst")
+        a = pair.filter("_rn = 1").select(
+            "_pair", F.col("src").alias("a"), F.col("dst").alias("b"))
+        b = pair.filter("_rn = 2").select(
+            "_pair", F.col("src").alias("c"), F.col("dst").alias("d"))
+        joined = a.join(b, "_pair", "left")
+        swapped = joined.select(
+            "_pair", "a", "b", "c", "d",
+            F.when(
+                F.col("c").isNotNull()
+                & (F.col("a") != F.col("d")) & (F.col("c") != F.col("b"))
+                & (F.col("a") != F.col("c")) & (F.col("b") != F.col("d")),
+                F.lit(1)).otherwise(F.lit(0)).alias("_ok"),
+        )
+        cand = swapped.filter("_ok = 1")
+        ne1 = cand.select(F.least("a", "d").alias("src"),
+                          F.greatest("a", "d").alias("dst"), "_pair")
+        ne2 = cand.select(F.least("c", "b").alias("src"),
+                          F.greatest("c", "b").alias("dst"), "_pair")
+        new_edges = ne1.union(ne2)
+        # reject swaps whose new edges already exist elsewhere or collide
+        exists = new_edges.join(e, ["src", "dst"], "left_semi") \
+            .select("_pair").distinct()
+        dup_within = new_edges.groupBy("src", "dst") \
+            .agg(F.count(F.lit(1)).alias("c"), F.collect_set("_pair").alias("ps")) \
+            .filter("c > 1").select(F.explode("ps").alias("_pair")).distinct()
+        bad = exists.union(dup_within).distinct()
+        good = cand.join(bad, "_pair", "left_anti")
+        keep_orig = swapped.join(good.select("_pair"), "_pair", "left_anti")
+        e = (
+            good.select(F.least("a", "d").alias("src"),
+                        F.greatest("a", "d").alias("dst"))
+            .union(good.select(F.least("c", "b").alias("src"),
+                               F.greatest("c", "b").alias("dst")))
+            .union(keep_orig.select(F.col("a").alias("src"),
+                                    F.col("b").alias("dst")))
+            .union(keep_orig.filter(F.col("c").isNotNull())
+                   .select(F.col("c").alias("src"), F.col("d").alias("dst")))
+            .union(passthrough)
+        )
+        e = cut(e, f"r{r + 1}")
+    out = e.persist()
+    out.count()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return out

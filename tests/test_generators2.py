@@ -1,0 +1,99 @@
+"""New generators, edge switching, algebraic distance."""
+
+from collections import Counter
+
+import pytest
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.algebraic import algebraic_edge_scores
+from networkit_spark.sources.generators import (
+    barabasi_albert_edges, chung_lu_edges, edge_switching,
+    havel_hakimi_edges, planted_partition_edges, watts_strogatz_edges,
+)
+
+
+def test_watts_strogatz_lattice(spark):
+    e = watts_strogatz_edges(spark, 20, 4, p=0.0).collect()
+    assert len(e) == 40  # ring lattice n*k/2
+    deg = Counter()
+    for r in e:
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    assert all(d == 4 for d in deg.values())
+
+
+def test_watts_strogatz_rewired_deterministic(spark):
+    a = {(r["src"], r["dst"])
+         for r in watts_strogatz_edges(spark, 30, 4, 0.5, seed=1).collect()}
+    b = {(r["src"], r["dst"])
+         for r in watts_strogatz_edges(spark, 30, 4, 0.5, seed=1).collect()}
+    c = {(r["src"], r["dst"])
+         for r in watts_strogatz_edges(spark, 30, 4, 0.0).collect()}
+    assert a == b
+    assert a != c  # rewiring actually happened
+
+
+def test_barabasi_albert(spark):
+    edges = barabasi_albert_edges(50, 3, seed=5)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    # hubs exist: max degree well above attachment k
+    assert max(deg.values()) > 6
+    assert len({u for e in edges for u in e}) == 50
+
+
+def test_chung_lu(spark):
+    w = [10.0] * 5 + [1.0] * 45
+    edges = chung_lu_edges(w, seed=3)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    heavy = sum(deg[i] for i in range(5)) / 5
+    light = sum(deg[i] for i in range(5, 50)) / 45
+    assert heavy > 2 * light
+
+
+def test_havel_hakimi(spark):
+    seq = [3, 3, 2, 2, 2, 2]
+    edges = havel_hakimi_edges(seq)
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    assert sorted(deg.values(), reverse=True) == sorted(seq, reverse=True)
+    with pytest.raises(ValueError):
+        havel_hakimi_edges([3, 1])
+
+
+def test_edge_switching_preserves_degrees(spark, karate):
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    before = Counter()
+    for u, v in edges:
+        before[u] += 1
+        before[v] += 1
+    out = edge_switching(g.edges, rounds=5, seed=9)
+    rows = [(r["src"], r["dst"]) for r in out.collect()]
+    after = Counter()
+    for u, v in rows:
+        after[u] += 1
+        after[v] += 1
+    assert before == after
+    assert len(rows) == len(edges)
+    assert set(rows) != {(min(u, v), max(u, v)) for u, v in edges}
+
+
+def test_algebraic_distance_separates_clusters(spark):
+    edges, truth = planted_partition_edges(60, 3, p_in=0.5, p_out=0.03,
+                                           seed=2)
+    g = Graph.from_rows(spark, edges, directed=False)
+    scores = {(r["lo"], r["hi"]): r["score"]
+              for r in algebraic_edge_scores(g, n_systems=8,
+                                             n_iters=20).collect()}
+    intra = [s for (u, v), s in scores.items() if truth[u] == truth[v]]
+    inter = [s for (u, v), s in scores.items() if truth[u] != truth[v]]
+    assert inter, "fixture should have cross-cluster edges"
+    assert sum(intra) / len(intra) < sum(inter) / len(inter)
