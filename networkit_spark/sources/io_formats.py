@@ -103,3 +103,238 @@ def read_partition(spark: SparkSession, path: str) -> DataFrame:
         spark.createDataFrame(rows, "id long, value string")
         .select("id", F.trim("value").cast("long").alias("label"))
     )
+
+
+def read_konect(spark: SparkSession, path: str) -> Graph:
+    """KONECTGraphReader (KONECTGraphReader.cpp): whitespace edge lists
+    with '%' meta/comment lines; first '%' line may declare
+    (un)directedness ('asym' => directed); optional third column is the
+    weight; ids are 1-based."""
+    first = spark.read.text(path).limit(1).collect()
+    directed = False
+    if first and first[0]["value"].startswith("%"):
+        directed = "asym" in first[0]["value"]
+    g = read_edgelist(spark, path, sep=r"\s+", comment="%", first_node=1,
+                      directed=directed)
+    return g
+
+
+def read_dot(spark: SparkSession, path: str) -> Graph:
+    """DOT reader: numeric-id edge statements ``u -- v`` / ``u -> v``
+    extracted per line (distributed regex; attributes ignored)."""
+    lines = spark.read.text(path)
+    pat = r"(\d+)\s*(--|->)\s*(\d+)"
+    e = (
+        lines.select(
+            F.regexp_extract("value", pat, 1).alias("s"),
+            F.regexp_extract("value", pat, 2).alias("op"),
+            F.regexp_extract("value", pat, 3).alias("d"))
+        .filter("s != ''")
+        .select(F.col("s").cast("long").alias("src"),
+                F.col("d").cast("long").alias("dst"),
+                F.lit(1.0).alias("weight"), "op")
+    )
+    directed = bool(e.filter("op = '->'").limit(1).collect())
+    return Graph(e.drop("op"), directed=directed)
+
+
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """GMLGraphReader: node [ id k ] / edge [ source u target v ] blocks.
+    GML is an interop fixture format (one small nested-text file), so it
+    is parsed on the driver; parquet / edge lists are the scale paths."""
+    import re
+
+    with open(path) as f:
+        text = f.read()
+    directed = bool(re.search(r"directed\s+1", text))
+    nodes = [int(m) for m in re.findall(r"node\s*\[\s*id\s+(\d+)", text)]
+    edges = re.findall(r"edge\s*\[\s*source\s+(\d+)\s+target\s+(\d+)"
+                       r"(?:\s+(?:weight|value)\s+([0-9.eE+-]+))?", text)
+    rows = [(int(u), int(v), float(w) if w else 1.0) for u, v, w in edges]
+    e = spark.createDataFrame(rows or [(0, 0, 0.0)][:0],
+                              "src long, dst long, weight double")
+    verts = spark.createDataFrame([(n,) for n in nodes] or [(0,)][:0],
+                                  "id long")
+    return Graph(e, directed=directed, vertices=verts if nodes else None)
+
+
+def write_gml(g: Graph, path: str) -> None:
+    """GMLGraphWriter: driver-side single-file write (interop fixture)."""
+    nodes = sorted(r["id"] for r in g.vertices.collect())
+    edges = g.edges.collect()
+    with open(path, "w") as f:
+        f.write("graph [\n")
+        f.write(f"  directed {1 if g.directed else 0}\n")
+        for n in nodes:
+            f.write(f"  node [ id {n} ]\n")
+        for r in edges:
+            f.write(f"  edge [ source {r['src']} target {r['dst']}"
+                    f" weight {float(r['weight'])} ]\n")
+        f.write("]\n")
+
+
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """GraphMLReader: XML interop fixture — driver-side parse."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(path).getroot()
+    graph = root.find("g:graph", ns) or root.find("graph")
+    directed = (graph.get("edgedefault") == "directed")
+
+    def nid(x: str) -> int:
+        return int(x[1:]) if x and not x.isdigit() else int(x)
+
+    nodes = [nid(n.get("id")) for n in graph.findall("g:node", ns)
+             or graph.findall("node")]
+    rows = [(nid(e.get("source")), nid(e.get("target")), 1.0)
+            for e in graph.findall("g:edge", ns) or graph.findall("edge")]
+    e = spark.createDataFrame(rows or [(0, 0, 0.0)][:0],
+                              "src long, dst long, weight double")
+    verts = spark.createDataFrame([(n,) for n in nodes] or [(0,)][:0],
+                                  "id long")
+    return Graph(e, directed=directed, vertices=verts if nodes else None)
+
+
+def write_graphml(g: Graph, path: str) -> None:
+    """GraphMLWriter: driver-side single-file write (interop fixture)."""
+    nodes = sorted(r["id"] for r in g.vertices.collect())
+    edges = g.edges.collect()
+    dflt = "directed" if g.directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+        f.write(f'  <graph id="G" edgedefault="{dflt}">\n')
+        for n in nodes:
+            f.write(f'    <node id="n{n}"/>\n')
+        for r in edges:
+            f.write(f'    <edge source="n{r["src"]}" target="n{r["dst"]}"/>\n')
+        f.write("  </graph>\n</graphml>\n")
+
+
+def write_dot(g: Graph, path: str) -> None:
+    """DotGraphWriter: driver-side single-file write."""
+    op = "->" if g.directed else "--"
+    kind = "digraph" if g.directed else "graph"
+    edges = g.edges.collect()
+    with open(path, "w") as f:
+        f.write(kind + " G {\n")
+        for r in edges:
+            f.write(f"  {r['src']} {op} {r['dst']};\n")
+        f.write("}\n")
+
+
+def write_metis(g: Graph, path: str) -> None:
+    """METISGraphWriter: header ``n m``, line i = 1-based neighbors of
+    node i-1. METIS is one ordered file by construction — driver-side
+    write; ids must be 0..n-1."""
+    n = g.num_vertices()
+    e = g.edges.filter("src != dst").select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).distinct()
+    m = e.count()
+    sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+    adj = {r["u"]: r["nbrs"] for r in
+           sym.groupBy("u").agg(F.sort_array(F.collect_list("v"))
+                                .alias("nbrs")).collect()}
+    with open(path, "w") as f:
+        f.write(f"{n} {m}\n")
+        for i in range(n):
+            f.write(" ".join(str(int(x) + 1) for x in adj.get(i, [])) + "\n")
+
+
+def write_snap(g: Graph, path: str) -> None:
+    """SNAPGraphWriter: '#'-header + tab edge list, distributed text
+    write (directory of parts — SNAP files are plain edge lists)."""
+    (
+        g.edges.select(F.concat_ws("\t", F.col("src").cast("string"),
+                                   F.col("dst").cast("string")).alias("value"))
+        .write.mode("overwrite").text(path)
+    )
+
+
+def write_partition(labels: DataFrame, path: str) -> None:
+    """PartitionWriter: line i = label of node i (one ordered file —
+    driver-side; ids must be 0..n-1)."""
+    rows = {r["id"]: r["label"] for r in labels.collect()}
+    with open(path, "w") as f:
+        for i in range(len(rows)):
+            f.write(f"{rows[i]}\n")
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """CoverReader: line k lists the node ids of subset k → (id, subset)
+    rows (a node may appear in several subsets)."""
+    rows = (
+        spark.read.text(path).rdd.zipWithIndex()
+        .map(lambda t: (t[1], t[0]["value"]))
+    )
+    df = spark.createDataFrame(rows, "subset long, value string")
+    return (
+        df.filter(F.length(F.trim("value")) > 0)
+        .select("subset", F.explode(F.split(F.trim("value"), r"\s+")).alias("tok"))
+        .select(F.col("tok").cast("long").alias("id"), "subset")
+    )
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """CoverWriter: one line per subset listing its member ids."""
+    rows = {r["subset"]: r["ids"] for r in
+            cover.groupBy("subset").agg(F.sort_array(F.collect_list("id"))
+                                        .alias("ids")).collect()}
+    with open(path, "w") as f:
+        for k in sorted(rows):
+            f.write(" ".join(str(int(i)) for i in rows[k]) + "\n")
+
+
+# -- format registry facade (networkit.graphio.readGraph/writeGraph) --------
+
+_READERS = {
+    "edgelist": read_edgelist,
+    "metis": read_metis,
+    "snap": read_snap,
+    "konect": read_konect,
+    "gml": read_gml,
+    "graphml": read_graphml,
+    "dot": read_dot,
+}
+
+_WRITERS = {
+    "edgelist": write_edgelist,
+    "metis": write_metis,
+    "snap": write_snap,
+    "gml": write_gml,
+    "graphml": write_graphml,
+    "dot": write_dot,
+}
+
+_EXT = {".graph": "metis", ".metis": "metis", ".txt": "snap",
+        ".edgelist": "edgelist", ".konect": "konect", ".gml": "gml",
+        ".graphml": "graphml", ".xml": "graphml", ".dot": "dot",
+        ".gv": "dot"}
+
+
+def read_graph(spark: SparkSession, path: str, fmt: str | None = None,
+               **kwargs) -> Graph:
+    """graphio.readGraph facade: dispatch on explicit format or file
+    extension (networkit/graphio.py Format registry)."""
+    import os
+
+    if fmt is None:
+        fmt = _EXT.get(os.path.splitext(path)[1].lower())
+    if fmt not in _READERS:
+        raise ValueError(f"unknown graph format: {fmt!r} for {path}")
+    return _READERS[fmt](spark, path, **kwargs)
+
+
+def write_graph(g: Graph, path: str, fmt: str | None = None,
+                **kwargs) -> None:
+    """graphio.writeGraph facade."""
+    import os
+
+    if fmt is None:
+        fmt = _EXT.get(os.path.splitext(path)[1].lower())
+    if fmt not in _WRITERS:
+        raise ValueError(f"unknown graph format: {fmt!r} for {path}")
+    _WRITERS[fmt](g, path, **kwargs)

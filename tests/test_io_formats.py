@@ -48,3 +48,101 @@ def test_read_snap_comments(spark, tmp_path):
     p.write_text("# FromNodeId\tToNodeId\n0\t1\n1\t2\n")
     g = read_snap(spark, str(p))
     assert g.num_edges() == 2 and g.directed
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_gml, write_gml
+    g = Graph.from_rows(spark, [(0, 1, 2.0), (1, 2, 1.0)], directed=False)
+    p = str(tmp_path / "g.gml")
+    write_gml(g, p)
+    g2 = read_gml(spark, p)
+    assert not g2.directed
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(0, 1), (1, 2)}
+    assert g2.num_vertices() == 3
+
+
+def test_graphml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_graphml, write_graphml
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (0, 2)], directed=True)
+    p = str(tmp_path / "g.graphml")
+    write_graphml(g, p)
+    g2 = read_graphml(spark, p)
+    assert g2.directed
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == \
+        {(0, 1), (1, 2), (0, 2)}
+
+
+def test_dot_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_dot, write_dot
+    g = Graph.from_rows(spark, [(0, 1), (1, 2)], directed=True)
+    p = str(tmp_path / "g.dot")
+    write_dot(g, p)
+    g2 = read_dot(spark, p)
+    assert g2.directed
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(0, 1), (1, 2)}
+
+
+def test_metis_writer_roundtrip(spark, karate):
+    import tempfile, os
+    from networkit_spark.sources.io_formats import write_metis
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "k.graph")
+    write_metis(g, p)
+    g2 = read_metis(spark, p)
+    assert g2.num_vertices() == n and g2.num_edges() == len(edges)
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == \
+        {(min(u, v), max(u, v)) for u, v in edges}
+
+
+def test_snap_writer_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import write_snap
+    g = Graph.from_rows(spark, [(0, 1), (2, 3)], directed=True)
+    p = str(tmp_path / "snap_out")
+    write_snap(g, p)
+    g2 = read_snap(spark, p)
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(0, 1), (2, 3)}
+
+
+def test_konect_reader(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_konect
+    p = tmp_path / "k.konect"
+    p.write_text("% asym\n% meta\n1 2\n2 3 2.5\n")
+    g = read_konect(spark, str(p))
+    assert g.directed
+    rows = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert rows == {(0, 1): 1.0, (1, 2): 2.5}
+
+
+def test_cover_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_cover, write_cover
+    p = str(tmp_path / "c.cover")
+    cov = spark.createDataFrame(
+        [(0, 0), (1, 0), (1, 1), (2, 1)], "id long, subset long")
+    write_cover(cov, p)
+    got = {(r["id"], r["subset"]) for r in read_cover(spark, p).collect()}
+    assert got == {(0, 0), (1, 0), (1, 1), (2, 1)}
+
+
+def test_partition_writer(spark, tmp_path):
+    from networkit_spark.sources.io_formats import (
+        read_partition, write_partition)
+    p = str(tmp_path / "p.part")
+    labels = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 7)], "id long, label long")
+    write_partition(labels, p)
+    got = {r["id"]: r["label"] for r in read_partition(spark, p).collect()}
+    assert got == {0: 5, 1: 5, 2: 7}
+
+
+def test_registry_facade(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_graph, write_graph
+    g = Graph.from_rows(spark, [(0, 1), (1, 2)], directed=False)
+    p = str(tmp_path / "r.gml")
+    write_graph(g, p)  # inferred from extension
+    g2 = read_graph(spark, p)
+    assert g2.num_edges() == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        read_graph(spark, str(tmp_path / "x.unknownext"))
