@@ -403,6 +403,15 @@ def q_ann_ivf_top3(spark, sf_dir):
                       "rnk")
 
 
+def q_ann_lsh_cells(spark, sf_dir):
+    """Hyperplane-LSH cell assignment (similarity.assign_cells): the
+    scale-path cell builder, value-checked — the md5-parity plane
+    weights are deterministic constants, so DuckDB reproduces the signs
+    bit-for-bit."""
+    emb = _emb_double(spark, sf_dir)
+    return S.assign_cells(emb, planes=4)
+
+
 def q_embedding_centroids(spark, sf_dir):
     emb = _emb_double(spark, sf_dir)
     return (
@@ -607,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_jaccard": q_docs_lsh_jaccard,
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_ivf_top3": q_ann_ivf_top3,
+        "ann_lsh_cells": q_ann_lsh_cells,
         "embedding_centroids": q_embedding_centroids,
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,

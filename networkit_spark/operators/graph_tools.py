@@ -69,6 +69,35 @@ def ordered_dense_ids(df: DataFrame, cols: list[str],
     )
 
 
+def ordered_prefix_sums(df: DataFrame, cols: list[str],
+                        val_col: str, out_col: str = "cum") -> DataFrame:
+    """Append ``out_col`` = inclusive prefix sum of ``val_col`` in the
+    lexicographic order of ``cols`` — the same distributed two-pass
+    shape as :func:`ordered_dense_ids` (range partition, tiny
+    per-partition totals collect, broadcast offsets + local window), so
+    no single-partition global sort."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(npart, *cols) \
+        .withColumn("_pid", F.spark_partition_id()).persist()
+    sums = {int(r["_pid"]): float(r["s"]) for r in
+            ranged.groupBy("_pid").agg(F.sum(val_col).alias("s")).collect()}
+    offsets, acc = [], 0.0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += sums[pid]
+    if not offsets:
+        return df.withColumn(out_col, F.lit(0.0)).filter(F.lit(False))
+    off_df = spark.createDataFrame(offsets, "_pid int, _off double")
+    w = Window.partitionBy("_pid").orderBy(*cols) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.sum(val_col).over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def index_edges(g: Graph) -> DataFrame:
     """(src, dst, weight, edge_id): stable ids in canonical scan order —
     one id per undirected edge, assigned on the (lo, hi) orientation

@@ -162,3 +162,116 @@ def global_clustering_coefficient(g: Graph) -> float:
 def avg_local_clustering_coefficient(g: Graph) -> float:
     row = local_clustering_coefficients(g).agg(F.avg("lcc")).collect()[0]
     return float(row[0] or 0.0)
+
+
+def _adjacency_arrays(g: Graph) -> DataFrame:
+    """(id, nbrs: array<long> sorted, deg) adjacency arrays for the
+    wedge samplers. Hub arrays are as long as the hub degree — fine for
+    sampling (one row per vertex, no shuffle amplification)."""
+    e = _distinct_edges(g)
+    sym = e.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).union(
+        e.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs"),
+        F.count(F.lit(1)).alias("deg"))
+
+
+def _h60(*cols):
+    from networkit_spark.sources.generators import _md5_int60
+    return _md5_int60(*cols)
+
+
+def approx_avg_local_cc(g: Graph, trials: int = 1000,
+                        seed: int = 42) -> float:
+    """Wedge-sampling estimate of the average local clustering
+    coefficient (reference ClusteringCoefficient::approxAvgLocal,
+    ClusteringCoefficient.cpp:133-164): per trial, pick a uniform vertex
+    of degree ≥ 2, two distinct uniform neighbors, and test whether the
+    wedge closes. Deterministic md5 counter randomness; sampling is a
+    broadcast join of the (tiny) trial table against the adjacency
+    arrays — no per-row Python, no driver loop."""
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
+
+    spark = g.edges.sparkSession
+    adj = _adjacency_arrays(g).filter(F.col("deg") >= 2)
+    eligible = ordered_dense_ids(adj.select("id"), ["id"], "idx").persist()
+    n_elig = eligible.count()
+    if n_elig == 0:
+        return 0.0
+    t = spark.range(trials).select(F.col("id").alias("t"))
+    pick = t.select(
+        "t", F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(0)),
+                    F.lit(n_elig)).alias("idx"))
+    wedge = (
+        pick.join(eligible, "idx").join(adj, "id")
+        .select(
+            "t", "id", "deg",
+            F.element_at("nbrs",
+                         (F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(1)),
+                                 F.col("deg")) + 1).cast("int")).alias("u"),
+            F.col("nbrs").alias("nbrs"),
+        )
+    )
+    # second neighbor drawn from the deg-1 others (skip-over-u trick:
+    # draw j in [0, deg-2]; if slot >= slot(u) shift by one)
+    i1 = F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(1)), F.col("deg"))
+    j = F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(2)), F.col("deg") - 1)
+    i2 = F.when(j >= i1, j + 1).otherwise(j)
+    wedge = wedge.select(
+        "t", F.col("u"),
+        F.element_at("nbrs", (i2 + 1).cast("int")).alias("w"))
+    e = _distinct_edges(g)
+    closed = (
+        wedge.select("t", F.least("u", "w").alias("lo"),
+                     F.greatest("u", "w").alias("hi"))
+        .join(e, ["lo", "hi"], "left_semi")
+        .count()
+    )
+    eligible.unpersist()
+    return closed / float(trials)
+
+
+def approx_global_cc(g: Graph, trials: int = 1000, seed: int = 42) -> float:
+    """Wedge-sampling estimate of the global clustering coefficient
+    (ClusteringCoefficient::approxGlobal, .cpp:221-280): vertices drawn
+    ∝ deg·(deg−1) (each vertex's wedge count) via interval containment
+    against the degree-weight prefix sums, then one uniform wedge each.
+    The r-in-[lo,hi) lookup is a broadcast range join of the tiny trial
+    table — the distributed equivalent of the reference's binary search."""
+    spark = g.edges.sparkSession
+    adj = _adjacency_arrays(g).filter(F.col("deg") >= 2)
+    from networkit_spark.operators.graph_tools import ordered_prefix_sums
+
+    # degree-weight prefix sums in id order — distributed two-pass, no
+    # global sort
+    w = adj.select("id", "nbrs", "deg",
+                   (F.col("deg") * (F.col("deg") - 1))
+                   .cast("double").alias("wt"))
+    cum = ordered_prefix_sums(w, ["id"], "wt", "hi_cum").select(
+        "id", "nbrs", "deg",
+        (F.col("hi_cum") - F.col("wt")).alias("lo_cum"), "hi_cum").persist()
+    total = cum.agg(F.max("hi_cum")).collect()[0][0]
+    if not total:
+        return 0.0
+    t = spark.range(trials).select(F.col("id").alias("t"))
+    r = t.select("t", F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(0)),
+                             F.lit(int(total))).alias("r"))
+    pick = cum.join(
+        F.broadcast(r),
+        (F.col("r") >= F.col("lo_cum")) & (F.col("r") < F.col("hi_cum")))
+    i1 = F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(1)), F.col("deg"))
+    j = F.pmod(_h60(F.col("t"), F.lit(seed), F.lit(2)), F.col("deg") - 1)
+    i2 = F.when(j >= i1, j + 1).otherwise(j)
+    wedge = pick.select(
+        "t",
+        F.element_at("nbrs", (i1 + 1).cast("int")).alias("u"),
+        F.element_at("nbrs", (i2 + 1).cast("int")).alias("w"))
+    e = _distinct_edges(g)
+    closed = (
+        wedge.select("t", F.least("u", "w").alias("lo"),
+                     F.greatest("u", "w").alias("hi"))
+        .join(e, ["lo", "hi"], "left_semi")
+        .count()
+    )
+    cum.unpersist()
+    return closed / float(trials)
