@@ -308,6 +308,15 @@ def q_compact_lpa_pp(spark, sf_dir):
     return compact_partition(labels)
 
 
+def q_spanning_forest_count_pp(spark, sf_dir):
+    """Spanning-forest size = n − #components — an exact invariant of
+    ANY spanning forest, so the deterministic BFS-forest result is
+    value-checkable without fixing the tree shape."""
+    from networkit_spark.operators.structures import spanning_forest
+    g = TG.graph_part_part(spark, sf_dir)
+    return spanning_forest(g).agg(F.count(F.lit(1)).alias("n_tree_edges"))
+
+
 def q_missing_links_count_pp(spark, sf_dir):
     from networkit_spark.operators.graph_tools import missing_links
     g = TG.graph_part_part(spark, sf_dir)
@@ -604,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,
+        "spanning_forest_count_pp": q_spanning_forest_count_pp,
         "missing_links_count_pp": q_missing_links_count_pp,
         "docs_token_stats": q_docs_token_stats,
         "docs_language_id": q_docs_language_id,

@@ -681,6 +681,12 @@ SELECT id, CAST(DENSE_RANK() OVER (ORDER BY label) - 1 AS BIGINT) AS label
 FROM lab4
 """
 
+    o["spanning_forest_count_pp"] = cc_closure + """
+SELECT CAST((SELECT COUNT(*) FROM pp_verts)
+            - (SELECT COUNT(DISTINCT component) FROM cc) AS BIGINT)
+       AS n_tree_edges
+"""
+
     o["missing_links_count_pp"] = f"""
 WITH {PP},
 cand AS (
