@@ -250,6 +250,32 @@ def q_bfs_cs_d6(spark, sf_dir):
     return bfs(und, source=int(src), max_depth=6)
 
 
+def q_eigen_pp_k8(spark, sf_dir):
+    from networkit_spark.operators.centrality import eigenvector_centrality
+    g = TG.graph_part_part(spark, sf_dir)
+    return eigenvector_centrality(g, fixed_iters=8).select(
+        "id", _r6(F.col("score")).alias("score"))
+
+
+def q_katz_pp_k8(spark, sf_dir):
+    from networkit_spark.operators.centrality import katz_centrality
+    g = TG.graph_part_part(spark, sf_dir)
+    return katz_centrality(g, alpha=0.01, beta=0.1, fixed_iters=8).select(
+        "id", _r6(F.col("score")).alias("score"))
+
+
+def q_sssp_cs(spark, sf_dir):
+    """Weighted SSSP (Bellman-Ford supersteps) on the undirected cs
+    graph from the smallest customer; unreachable -> NULL."""
+    from networkit_spark.operators.distances import sssp
+    src = TG.load(spark, sf_dir, "customer").agg(
+        F.min("c_custkey")).collect()[0][0]
+    g = TG.graph_customer_supplier(spark, sf_dir)
+    und = Graph(g.edges, directed=False, weighted=True, vertices=g.vertices)
+    out = sssp(und, source=int(src))
+    return out.select("id", _r6(F.col("dist")).alias("dist"))
+
+
 def q_kcore_pp(spark, sf_dir):
     from networkit_spark.operators.kcore import core_decomposition
     g = TG.graph_part_part(spark, sf_dir)
@@ -605,6 +631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coarsen_cs_by_nation": q_coarsen_cs_by_nation,
         "assortativity_pp": q_assortativity_pp,
         "bfs_cs_d6": q_bfs_cs_d6,
+        "eigen_pp_k8": q_eigen_pp_k8,
+        "katz_pp_k8": q_katz_pp_k8,
+        "sssp_cs": q_sssp_cs,
         "kcore_pp": q_kcore_pp,
         "nf_pp_h3": q_nf_pp_h3,
         "sparsify_jaccard_pp": q_sparsify_jaccard_pp,

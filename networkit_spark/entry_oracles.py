@@ -563,6 +563,310 @@ SELECT lo, hi, (ROUND(score, 6) + 0.0) AS score
 FROM scored WHERE score >= 0.08
 """
 
+    o["eigen_pp_k8"] = f"""
+WITH {PP},
+x0 AS (SELECT id, 1.0 / (SELECT COUNT(*) FROM pp_verts) AS x FROM pp_verts),
+
+g1 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x0 x ON x.id = s.src GROUP BY 1
+),
+r1 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g1 g ON g.id = v.id
+),
+n1 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r1),
+x1 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n1) AS x FROM r1),
+
+g2 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x1 x ON x.id = s.src GROUP BY 1
+),
+r2 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g2 g ON g.id = v.id
+),
+n2 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r2),
+x2 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n2) AS x FROM r2),
+
+g3 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x2 x ON x.id = s.src GROUP BY 1
+),
+r3 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g3 g ON g.id = v.id
+),
+n3 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r3),
+x3 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n3) AS x FROM r3),
+
+g4 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x3 x ON x.id = s.src GROUP BY 1
+),
+r4 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g4 g ON g.id = v.id
+),
+n4 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r4),
+x4 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n4) AS x FROM r4),
+
+g5 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x4 x ON x.id = s.src GROUP BY 1
+),
+r5 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g5 g ON g.id = v.id
+),
+n5 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r5),
+x5 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n5) AS x FROM r5),
+
+g6 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x5 x ON x.id = s.src GROUP BY 1
+),
+r6 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g6 g ON g.id = v.id
+),
+n6 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r6),
+x6 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n6) AS x FROM r6),
+
+g7 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x6 x ON x.id = s.src GROUP BY 1
+),
+r7 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g7 g ON g.id = v.id
+),
+n7 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r7),
+x7 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n7) AS x FROM r7),
+
+g8 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x7 x ON x.id = s.src GROUP BY 1
+),
+r8 AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.gath, 0.0) AS raw
+  FROM pp_verts v LEFT JOIN g8 g ON g.id = v.id
+),
+n8 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r8),
+x8 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n8) AS x FROM r8)
+SELECT id, (ROUND(x, 6) + 0.0) AS score FROM x8
+"""
+
+    o["katz_pp_k8"] = f"""
+WITH {PP},
+x0 AS (SELECT id, 1.0 / (SELECT COUNT(*) FROM pp_verts) AS x FROM pp_verts),
+
+g1 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x0 x ON x.id = s.src GROUP BY 1
+),
+r1 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g1 g ON g.id = v.id
+),
+n1 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r1),
+x1 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n1) AS x FROM r1),
+
+g2 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x1 x ON x.id = s.src GROUP BY 1
+),
+r2 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g2 g ON g.id = v.id
+),
+n2 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r2),
+x2 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n2) AS x FROM r2),
+
+g3 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x2 x ON x.id = s.src GROUP BY 1
+),
+r3 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g3 g ON g.id = v.id
+),
+n3 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r3),
+x3 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n3) AS x FROM r3),
+
+g4 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x3 x ON x.id = s.src GROUP BY 1
+),
+r4 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g4 g ON g.id = v.id
+),
+n4 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r4),
+x4 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n4) AS x FROM r4),
+
+g5 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x4 x ON x.id = s.src GROUP BY 1
+),
+r5 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g5 g ON g.id = v.id
+),
+n5 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r5),
+x5 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n5) AS x FROM r5),
+
+g6 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x5 x ON x.id = s.src GROUP BY 1
+),
+r6 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g6 g ON g.id = v.id
+),
+n6 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r6),
+x6 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n6) AS x FROM r6),
+
+g7 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x6 x ON x.id = s.src GROUP BY 1
+),
+r7 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g7 g ON g.id = v.id
+),
+n7 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r7),
+x7 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n7) AS x FROM r7),
+
+g8 AS MATERIALIZED (
+  SELECT s.dst AS id, SUM(1.0 * x.x) AS gath
+  FROM pp_sym s JOIN x7 x ON x.id = s.src GROUP BY 1
+),
+r8 AS MATERIALIZED (
+  SELECT v.id, 0.01 * COALESCE(g.gath, 0.0) + 0.1 AS raw
+  FROM pp_verts v LEFT JOIN g8 g ON g.id = v.id
+),
+n8 AS (SELECT SQRT(SUM(raw * raw)) AS t FROM r8),
+x8 AS MATERIALIZED (SELECT id, raw / (SELECT t FROM n8) AS x FROM r8)
+SELECT id, (ROUND(x, 6) + 0.0) AS score FROM x8
+"""
+
+    o["sssp_cs"] = f"""
+WITH {CS},
+cs_sym AS (
+  SELECT src, dst, weight FROM cs_edges
+  UNION ALL SELECT dst AS src, src AS dst, weight FROM cs_edges
+),
+srcv AS (SELECT MIN(c_custkey) AS s FROM customer),
+d0 AS (SELECT id, CASE WHEN id = (SELECT s FROM srcv) THEN 0.0 END AS dist
+       FROM cs_verts),
+rx1 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d0 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d1 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d0 c LEFT JOIN rx1 r ON r.id = c.id
+),
+rx2 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d1 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d2 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d1 c LEFT JOIN rx2 r ON r.id = c.id
+),
+rx3 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d2 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d3 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d2 c LEFT JOIN rx3 r ON r.id = c.id
+),
+rx4 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d3 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d4 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d3 c LEFT JOIN rx4 r ON r.id = c.id
+),
+rx5 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d4 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d5 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d4 c LEFT JOIN rx5 r ON r.id = c.id
+),
+rx6 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d5 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d6 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d5 c LEFT JOIN rx6 r ON r.id = c.id
+),
+rx7 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d6 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d7 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d6 c LEFT JOIN rx7 r ON r.id = c.id
+),
+rx8 AS MATERIALIZED (
+  SELECT e.dst AS id, MIN(d.dist + e.weight) AS cand
+  FROM cs_sym e JOIN d7 d ON d.id = e.src
+  WHERE d.dist IS NOT NULL GROUP BY 1
+),
+d8 AS MATERIALIZED (
+  SELECT c.id,
+         CASE WHEN c.dist IS NULL AND r.cand IS NULL THEN NULL
+              WHEN c.dist IS NULL THEN r.cand
+              WHEN r.cand IS NULL THEN c.dist
+              ELSE LEAST(c.dist, r.cand) END AS dist
+  FROM d7 c LEFT JOIN rx8 r ON r.id = c.id
+)
+SELECT id, (ROUND(dist, 6) + 0.0) AS dist FROM d8
+"""
+
     o["kcore_pp"] = f"""
 WITH {PP},
 {_kcore_unrolled(24)}

@@ -28,6 +28,7 @@ def _power_iteration(
     max_iter: int,
     runner: SuperstepRunner | None,
     job_id: str,
+    fixed_iters: int | None = None,
 ) -> DataFrame:
     spark = g.edges.sparkSession
     n = g.num_vertices()
@@ -66,28 +67,36 @@ def _power_iteration(
         )
 
     def stop_fn(metrics: dict, k: int) -> bool:
+        if fixed_iters is not None:
+            return k >= fixed_iters - 1
         return metrics.get("l2_delta", float("inf")) <= tol
 
     if runner is None:
         runner = SuperstepRunner(spark, job_id=job_id, ephemeral=True)
-    return runner.run(init_fn, step_fn, stop_fn, max_iter=max_iter)
+    return runner.run(
+        init_fn, step_fn, stop_fn,
+        max_iter=(fixed_iters if fixed_iters is not None else max_iter))
 
 
 def eigenvector_centrality(g: Graph, tol: float = 1e-9, max_iter: int = 500,
-                           runner: SuperstepRunner | None = None) -> DataFrame:
-    """(id, score), unit L2 norm."""
+                           runner: SuperstepRunner | None = None,
+                           fixed_iters: int | None = None) -> DataFrame:
+    """(id, score), unit L2 norm. ``fixed_iters`` = deterministic
+    k-step variant (SQL-oracle parity in the driver gate)."""
     return _power_iteration(
         g, transform=lambda gath: gath, pull_in_edges=True,
         tol=tol, max_iter=max_iter, runner=runner, job_id="eigen-anon",
+        fixed_iters=fixed_iters,
     )
 
 
 def katz_centrality(g: Graph, alpha: float = 5e-4, beta: float = 0.1,
                     tol: float = 1e-8, max_iter: int = 500,
-                    runner: SuperstepRunner | None = None) -> DataFrame:
+                    runner: SuperstepRunner | None = None,
+                    fixed_iters: int | None = None) -> DataFrame:
     """(id, score), unit L2 norm; x' = α·(neighbor sum) + β."""
     return _power_iteration(
         g, transform=lambda gath: F.lit(alpha) * gath + F.lit(beta),
         pull_in_edges=True, tol=tol, max_iter=max_iter, runner=runner,
-        job_id="katz-anon",
+        job_id="katz-anon", fixed_iters=fixed_iters,
     )
