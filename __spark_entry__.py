@@ -586,6 +586,26 @@ def q_conductance_pp_size(spark, sf_dir):
         _r6(F.col("conductance")).alias("conductance"))
 
 
+def q_local_eval_pp_brand(spark, sf_dir):
+    """Per-community local evaluation measures (IntrapartitionDensity,
+    PartitionHubDominance, IsolatedInterpartitionConductance) of the
+    p_brand partition on the pp graph."""
+    from networkit_spark.operators.community_eval import (
+        intrapartition_density, isolated_interpartition_conductance,
+        partition_hub_dominance)
+    g = TG.graph_part_part(spark, sf_dir)
+    labels = _brand_labels(spark, sf_dir)
+    d = intrapartition_density(g, labels)
+    h = partition_hub_dominance(g, labels)
+    c = isolated_interpartition_conductance(g, labels)
+    return (
+        d.join(h, "label").join(c, "label")
+        .select("label", _r6(F.col("density")).alias("density"),
+                _r6(F.col("dominance")).alias("dominance"),
+                _r6(F.col("value")).alias("iic"))
+    )
+
+
 def q_partition_sim_pp(spark, sf_dir):
     """All five partition-similarity measures between the LPA(4) labels
     and the p_brand partition on the pp graph."""
@@ -665,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_pps1": q_ecc_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
+        "local_eval_pp_brand": q_local_eval_pp_brand,
         "partition_sim_pp": q_partition_sim_pp,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,

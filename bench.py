@@ -88,6 +88,22 @@ def main() -> None:
     timed("lpa_pp_k4", lambda: label_propagation(g_pp, theta=-1, max_iter=4).count())
     timed("cc_pp_star", lambda: connected_components(g_pp, algorithm="star").count())
 
+    # -- round-2 kernels ---------------------------------------------------
+    from networkit_spark.operators.betweenness import estimate_betweenness
+    from networkit_spark.operators.kcore import core_decomposition
+    from networkit_spark.operators.scc import strongly_connected_components
+    from networkit_spark.sources.generators import rmat_edges
+
+    timed("kcore_pp", lambda: core_decomposition(g_pp).count())
+    extras["kcore_edges_per_sec"] = round(m_pp / timings["kcore_pp"], 1)
+    timed("betweenness_est_pp_s8",
+          lambda: estimate_betweenness(g_pp, n_samples=8).count())
+    e14 = rmat_edges(spark, 14, 8).filter("src != dst")
+    g14 = Graph(e14.withColumn("weight", F.lit(1.0)), directed=True)
+    m14 = g14.edges.persist().count()
+    timed("scc_rmat14", lambda: strongly_connected_components(g14).count())
+    extras["scc_edges_per_sec"] = round(m14 / timings["scc_rmat14"], 1)
+
     # -- data-pipeline ops -------------------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     timed("dedup_lsh_jaccard", lambda: jaccard_pairs(

@@ -1254,6 +1254,50 @@ SELECT (ROUND((SELECT c FROM cut) / (SELECT MIN(vol) FROM vols), 6) + 0.0)
        AS conductance
 """
 
+    o["local_eval_pp_brand"] = f"""
+WITH {PP},
+br AS (SELECT p_partkey AS id, p_brand AS label FROM part),
+el AS (
+  SELECT e.src, e.dst, 1.0 AS w, a.label AS ls, b.label AS ld
+  FROM pp_edges e JOIN br a ON a.id = e.src JOIN br b ON b.id = e.dst
+),
+sizes AS (SELECT label, COUNT(*) AS sz FROM br GROUP BY 1),
+intra AS (SELECT ls AS label, COUNT(*) AS ie FROM el WHERE ls = ld GROUP BY 1),
+perside AS (
+  SELECT ls AS label, w, ls <> ld AS x FROM el
+  UNION ALL SELECT ld, w, ls <> ld FROM el
+),
+agg AS (
+  SELECT label, SUM(CASE WHEN x THEN w ELSE 0.0 END) AS cut,
+         SUM(w) AS vol
+  FROM perside GROUP BY 1
+),
+tot AS (SELECT SUM(w) * 2 AS t FROM el),
+isym AS (
+  SELECT src AS id, ls AS label FROM el WHERE ls = ld
+  UNION ALL SELECT dst, ld FROM el WHERE ls = ld
+),
+mx AS (SELECT label, MAX(d) AS mx FROM (
+  SELECT id, label, COUNT(*) AS d FROM isym GROUP BY 1, 2) GROUP BY 1)
+SELECT s.label,
+  (ROUND(CASE WHEN s.sz * (s.sz - 1) / 2 > 0
+              THEN COALESCE(i.ie, 0) / (s.sz * (s.sz - 1) / 2.0)
+              ELSE 1.0 END, 6) + 0.0) AS density,
+  (ROUND(CASE WHEN s.sz > 1
+              THEN COALESCE(m.mx, 0) / (s.sz - 1.0) ELSE 1.0 END,
+         6) + 0.0) AS dominance,
+  (ROUND(CASE WHEN LEAST(COALESCE(a.vol, 0.0),
+                         (SELECT t FROM tot) - COALESCE(a.vol, 0.0)) > 0
+              THEN COALESCE(a.cut, 0.0)
+                   / LEAST(COALESCE(a.vol, 0.0),
+                           (SELECT t FROM tot) - COALESCE(a.vol, 0.0))
+              ELSE 0.0 END, 6) + 0.0) AS iic
+FROM sizes s
+LEFT JOIN intra i ON i.label = s.label
+LEFT JOIN agg a ON a.label = s.label
+LEFT JOIN mx m ON m.label = s.label
+"""
+
     o["partition_sim_pp"] = f"""
 WITH {PP},
 {_lpa_unrolled(4)},

@@ -182,3 +182,143 @@ def nmi_distance(p1: DataFrame, p2: DataFrame,
     if h1 + h2 == 0.0:
         return 0.0
     return 1.0 - 2.0 * mi / (h1 + h2)
+
+
+# -- local (per-community) evaluation measures ------------------------------
+# (LocalPartitionEvaluation family: IntrapartitionDensity.cpp,
+# PartitionHubDominance.cpp, IsolatedInterpartitionConductance.cpp /
+# -Expansion.cpp, StablePartitionNodes.cpp, PartitionFragmentation.cpp —
+# each returns one value per community; min/max/avg are one more agg.)
+
+def _sym_w(g: Graph) -> DataFrame:
+    e = g.edges.filter("src != dst").select(
+        "src", "dst", F.col("weight").cast("double").alias("w"))
+    return e.union(e.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+
+
+def intrapartition_density(g: Graph, labels: DataFrame,
+                           label_col: str = "label") -> DataFrame:
+    """(label, density): intra edges / C(|C|,2); 1.0 when |C| < 2
+    (IntrapartitionDensity.cpp:10-50)."""
+    el = _edge_labels(g, labels, label_col)
+    intra = (el.filter((F.col("l_src") == F.col("l_dst"))
+                       & (F.col("src") != F.col("dst")))
+             .groupBy(F.col("l_src").alias(label_col))
+             .agg(F.count(F.lit(1)).alias("ie")))
+    sizes = labels.groupBy(label_col).agg(F.count(F.lit(1)).alias("sz"))
+    possible = F.col("sz") * (F.col("sz") - 1) / 2
+    return sizes.join(intra, label_col, "left").select(
+        label_col,
+        F.when(possible > 0,
+               F.coalesce("ie", F.lit(0)) / possible)
+        .otherwise(F.lit(1.0)).alias("density"))
+
+
+def partition_hub_dominance(g: Graph, labels: DataFrame,
+                            label_col: str = "label") -> DataFrame:
+    """(label, dominance): max internal degree / (|C|−1); 1.0 for
+    singletons (PartitionHubDominance.cpp:10-45)."""
+    lab = _lab(labels, label_col, "_l")
+    sym = _sym_w(g)
+    internal = (
+        sym.join(lab.withColumnRenamed("id", "src")
+                 .withColumnRenamed("_l", "ls"), "src")
+        .join(lab.withColumnRenamed("id", "dst")
+              .withColumnRenamed("_l", "ld"), "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("src").alias("id"), F.col("ls").alias(label_col))
+        .agg(F.count(F.lit(1)).alias("ideg"))
+    )
+    maxdeg = internal.groupBy(label_col).agg(F.max("ideg").alias("mx"))
+    sizes = labels.groupBy(label_col).agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.join(maxdeg, label_col, "left").select(
+        label_col,
+        F.when(F.col("sz") > 1,
+               F.coalesce("mx", F.lit(0)) / (F.col("sz") - 1))
+        .otherwise(F.lit(1.0)).alias("dominance"))
+
+
+def isolated_interpartition_conductance(
+        g: Graph, labels: DataFrame, label_col: str = "label",
+        expansion: bool = False) -> DataFrame:
+    """(label, value): per-community cut / min(vol_C, totalVol − vol_C)
+    (IsolatedInterpartitionConductance.cpp; volumes count every incident
+    stored edge once per endpoint). ``expansion=True`` divides by
+    min(|C|, n − |C|) instead (IsolatedInterpartitionExpansion)."""
+    el = _edge_labels(g, labels, label_col)
+    per_side = el.select(F.col("l_src").alias(label_col), "weight",
+                         (F.col("l_src") != F.col("l_dst")).alias("x")) \
+        .union(el.select(F.col("l_dst").alias(label_col), "weight",
+                         (F.col("l_src") != F.col("l_dst")).alias("x")))
+    agg = per_side.groupBy(label_col).agg(
+        F.sum(F.when(F.col("x"), F.col("weight")).otherwise(0.0)).alias("cut"),
+        F.sum("weight").alias("vol"))
+    total = float(el.agg(F.sum(F.col("weight") * 2)).collect()[0][0] or 0.0)
+    sizes = labels.groupBy(label_col).agg(F.count(F.lit(1)).alias("sz"))
+    n = labels.count()
+    j = sizes.join(agg, label_col, "left").select(
+        label_col, F.coalesce("cut", F.lit(0.0)).alias("cut"),
+        F.coalesce("vol", F.lit(0.0)).alias("vol"), "sz")
+    if expansion:
+        denom = F.least(F.col("sz"), F.lit(n) - F.col("sz")).cast("double")
+    else:
+        denom = F.least(F.col("vol"), F.lit(total) - F.col("vol"))
+    return j.select(
+        label_col,
+        F.when(denom > 0, F.col("cut") / denom).otherwise(F.lit(0.0))
+        .alias("value"))
+
+
+def stable_partition_nodes(g: Graph, labels: DataFrame,
+                           label_col: str = "label") -> DataFrame:
+    """(id, stable): a node is stable iff its weight into its OWN
+    community is positive and strictly greater than its weight into any
+    other single community; isolated nodes are stable
+    (StablePartitionNodes.cpp:15-45)."""
+    lab = _lab(labels, label_col, "_l")
+    sym = _sym_w(g)
+    nbr_w = (
+        sym.join(lab.withColumnRenamed("id", "dst")
+                 .withColumnRenamed("_l", "nl"), "dst")
+        .groupBy(F.col("src").alias("id"), "nl")
+        .agg(F.sum("w").alias("lw"))
+    )
+    own = lab.join(nbr_w, (lab.id == nbr_w.id) & (lab._l == nbr_w.nl),
+                   "left").select(lab.id.alias("id"),
+                                  F.coalesce("lw", F.lit(0.0)).alias("ow"))
+    best_other = (
+        lab.join(nbr_w, "id")
+        .filter(F.col("nl") != F.col("_l"))
+        .groupBy("id").agg(F.max("lw").alias("bw"))
+    )
+    has_nbr = nbr_w.select("id").distinct()
+    return (
+        labels.select("id")
+        .join(own, "id", "left")
+        .join(best_other, "id", "left")
+        .join(has_nbr.withColumn("_h", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_h").isNull(), F.lit(True))   # isolated: stable
+            .when(F.col("ow") <= 0, F.lit(False))
+            .when(F.col("bw").isNull(), F.lit(True))
+            .otherwise(F.col("bw") < F.col("ow")).alias("stable"))
+    )
+
+
+def partition_fragmentation(g: Graph, labels: DataFrame,
+                            label_col: str = "label") -> DataFrame:
+    """(label, fragmentation): 1 − |largest connected fragment| / |C|
+    (PartitionFragmentation.cpp:10-75 — intersection with the CC
+    partition; 0 = community is connected)."""
+    from networkit_spark.operators.components import connected_components
+
+    cc = connected_components(g).withColumnRenamed("component", "_cc")
+    j = labels.select("id", label_col).join(cc, "id")
+    frag_sizes = j.groupBy(label_col, "_cc").agg(
+        F.count(F.lit(1)).alias("fs"))
+    max_frag = frag_sizes.groupBy(label_col).agg(F.max("fs").alias("mf"))
+    sizes = labels.groupBy(label_col).agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.join(max_frag, label_col).select(
+        label_col, (1.0 - F.col("mf") / F.col("sz")).alias("fragmentation"))
