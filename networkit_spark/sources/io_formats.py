@@ -312,7 +312,7 @@ _WRITERS = {
 _EXT = {".graph": "metis", ".metis": "metis", ".txt": "snap",
         ".edgelist": "edgelist", ".konect": "konect", ".gml": "gml",
         ".graphml": "graphml", ".xml": "graphml", ".dot": "dot",
-        ".gv": "dot"}
+        ".gv": "dot", ".gexf": "gexf"}
 
 
 def read_graph(spark: SparkSession, path: str, fmt: str | None = None,
@@ -338,3 +338,91 @@ def write_graph(g: Graph, path: str, fmt: str | None = None,
     if fmt not in _WRITERS:
         raise ValueError(f"unknown graph format: {fmt!r} for {path}")
     _WRITERS[fmt](g, path, **kwargs)
+
+
+def read_gexf(spark: SparkSession, path: str):
+    """GEXF reader (static + dynamic) — returns (Graph, events | None).
+
+    Static mode: nodes/edges → Graph, events = None. Dynamic mode
+    (GEXFReader.cpp semantics): node/edge spells become
+    NODE/EDGE_ADDITION events at spell start (default 0) and
+    NODE/EDGE_REMOVAL at spell end (when present), timestamped into the
+    streaming event schema — replayable via streaming.events.
+    XML interop fixture format — driver-side parse."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+
+    def loc(tag):  # namespace-insensitive find
+        return "{*}" + tag
+
+    graph = root.find(loc("graph"))
+    directed = (graph.get("defaultedgetype") == "directed")
+    dynamic = (graph.get("mode") == "dynamic")
+
+    nodes, edges, events = [], [], []
+    nodes_el = graph.find(loc("nodes"))
+    for nd in (nodes_el.findall(loc("node")) if nodes_el is not None else []):
+        nid = int(nd.get("id"))
+        nodes.append(nid)
+        spells = nd.find(loc("spells"))
+        if dynamic and spells is not None:
+            for sp in spells.findall(loc("spell")):
+                start = sp.get("start")
+                end = sp.get("end")
+                events.append(("NODE_ADDITION", nid, None, 0.0,
+                               float(start) if start else 0.0))
+                if end is not None:
+                    events.append(("NODE_REMOVAL", nid, None, 0.0,
+                                   float(end)))
+    edges_el = graph.find(loc("edges"))
+    for ed in (edges_el.findall(loc("edge")) if edges_el is not None else []):
+        u, v = int(ed.get("source")), int(ed.get("target"))
+        w = float(ed.get("weight") or 1.0)
+        edges.append((u, v, w))
+        if dynamic:
+            start = ed.get("start")
+            end = ed.get("end")
+            events.append(("EDGE_ADDITION", u, v, w,
+                           float(start) if start else 0.0))
+            if end is not None:
+                events.append(("EDGE_REMOVAL", u, v, 0.0, float(end)))
+
+    e = spark.createDataFrame(edges or [(0, 0, 0.0)][:0],
+                              "src long, dst long, weight double")
+    verts = spark.createDataFrame([(n,) for n in nodes] or [(0,)][:0],
+                                  "id long")
+    g = Graph(e, directed=directed, vertices=verts if nodes else None)
+    ev = None
+    if dynamic:
+        # integer-ize times preserving order (event schema uses long t)
+        events.sort(key=lambda r: r[4])
+        rows = [(t, u, v, w, i) for i, (t, u, v, w, _) in enumerate(events)]
+        ev = spark.createDataFrame(
+            rows, "type string, u long, v long, w double, t long")
+    return g, ev
+
+
+def write_gexf(g: Graph, path: str) -> None:
+    """GEXF writer (static) — driver-side single-file write."""
+    nodes = sorted(r["id"] for r in g.vertices.collect())
+    edges = g.edges.collect()
+    et = "directed" if g.directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n')
+        f.write(f'  <graph mode="static" defaultedgetype="{et}">\n')
+        f.write("    <nodes>\n")
+        for n in nodes:
+            f.write(f'      <node id="{n}"/>\n')
+        f.write("    </nodes>\n    <edges>\n")
+        for i, r in enumerate(edges):
+            f.write(f'      <edge id="{i}" source="{r["src"]}"'
+                    f' target="{r["dst"]}" weight="{float(r["weight"])}"/>\n')
+        f.write("    </edges>\n  </graph>\n</gexf>\n")
+
+
+# GEXF registered after its definitions (the registry dicts above are
+# evaluated at module load, before this point in the file)
+_WRITERS["gexf"] = write_gexf
+_EXT[".gexf"] = "gexf"

@@ -146,3 +146,24 @@ def test_registry_facade(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         read_graph(spark, str(tmp_path / "x.unknownext"))
+
+
+def test_gexf_static_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_gexf, write_gexf
+    g = Graph.from_rows(spark, [(0, 1, 2.0), (1, 2, 1.0)], directed=True)
+    p = str(tmp_path / "g.gexf")
+    write_gexf(g, p)
+    g2, ev = read_gexf(spark, p)
+    assert ev is None and g2.directed
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(0, 1), (1, 2)}
+
+
+def test_gexf_dynamic_reference_fixture(spark):
+    from networkit_spark.sources.io_formats import read_gexf
+    g, ev = read_gexf(spark, "/root/reference/input/dynamicTest3.gexf")
+    assert g.directed and g.num_vertices() == 2
+    rows = [(r["type"], r["u"], r["v"]) for r in ev.orderBy("t").collect()]
+    assert ("EDGE_ADDITION", 0, 1) in rows
+    assert ("EDGE_REMOVAL", 0, 1) in rows
+    kinds = {r[0] for r in rows}
+    assert "NODE_ADDITION" in kinds and "NODE_REMOVAL" in kinds
