@@ -215,3 +215,14 @@ def hll_neighborhood_function(g: Graph, max_h: int, rsd: float = 0.05) -> DataFr
     edges.unpersist()
     spark = g.edges.sparkSession
     return spark.createDataFrame(rows, "h long, pairs_est double")
+
+
+def hop_plot(g: Graph, max_h: int) -> DataFrame:
+    """(h, fraction): the hop plot — cumulative fraction of reachable
+    ordered pairs within h hops (reference HopPlotApproximation semantics,
+    exact variant): NF(h) / NF(max_h). One extra projection over
+    neighborhood_function."""
+    nf = neighborhood_function(g, max_h)
+    total = nf.agg(F.max("pairs")).collect()[0][0] or 1
+    return nf.select("h", (F.col("pairs") / F.lit(float(total)))
+                     .alias("fraction"))

@@ -188,3 +188,13 @@ def test_profile_k4(spark):
     assert p["n"] == 4 and p["m"] == 6 and p["triangles"] == 4
     assert p["components"] == 1 and p["max_degree"] == 3
     assert p["global_clustering"] == pytest.approx(1.0)
+
+
+def test_hop_plot_path(spark):
+    from networkit_spark.operators.distances import hop_plot
+    # P4: NF = {1:6, 2:10, 3:12}; fractions over NF(3)
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    got = {r["h"]: r["fraction"] for r in hop_plot(g, 3).collect()}
+    assert got[1] == pytest.approx(6 / 12)
+    assert got[2] == pytest.approx(10 / 12)
+    assert got[3] == pytest.approx(1.0)
