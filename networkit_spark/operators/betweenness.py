@@ -11,25 +11,28 @@ weighted-Dijkstra variant is out of scope here.
 Distributed shape — ALL sources run simultaneously, keyed by (s, v):
   forward: level-synchronous multi-source BFS accumulating σ (number of
     shortest s→v paths): one join + one anti-join + one aggregation per
-    level; per-level frontiers are persisted and kept (they are exactly
-    the strata the backward pass needs).
+    level; per-level frontiers are parquet-cut and kept (they are
+    exactly the strata the backward pass needs). The frontier-empty
+    check rides the cut write as an observation metric — one action per
+    level.
   backward: dependency accumulation per descending level —
     δ(v) = Σ_{w : dist(w)=dist(v)+1, (v,w)∈E} σ_v/σ_w · (1 + δ(w)) —
     one join per level against the stored strata.
   bc(v) = Σ_s δ_s(v). State is O(#sources · reachable set); use
-  ``estimate_betweenness`` (sampled sources) at scale — exact all-source
-  betweenness is quadratic no matter the engine.
+  ``estimate_betweenness`` (sampled sources) or ``approx_betweenness``
+  (RK ε/δ path sampling) at scale — exact all-source betweenness is
+  quadratic no matter the engine.
+
+All lineage cuts live under the shared NKS_STATE_DIR root
+(plans/scratch.py) so the operator is cluster-portable.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.scratch import Scratch
 
 
 def _sym_edges(g: Graph) -> DataFrame:
@@ -41,25 +44,13 @@ def _sym_edges(g: Graph) -> DataFrame:
     ).distinct()
 
 
-def _cut(df: DataFrame, workdir: str, name: str) -> DataFrame:
-    """Parquet round-trip lineage cut (the engine's standard — see
-    plans/superstep.py): each BFS level's plan references every earlier
-    level, so without a cut the LOGICAL plan tree (not the data) grows
-    exponentially with depth — karate at depth 6 already OOMs the driver
-    on plan stringification. A read-back scan is O(1) plan size."""
-    path = os.path.join(workdir, name)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
-
-
-def _brandes(g: Graph, sources: DataFrame, workdir: str,
+def _brandes(g: Graph, sources: DataFrame, sc: Scratch,
              max_depth: int = 1 << 20):
     """Returns (levels, sym): levels[l] = (s, v, sigma) stratum DataFrames
     of the multi-source shortest-path DAG (each a parquet-cut scan)."""
     sym = _sym_edges(g).repartition("src").persist()
-    frontier = _cut(sources.select(F.col("s"), F.col("s").alias("v"),
-                                   F.lit(1.0).alias("sigma")),
-                    workdir, "lv0")
+    frontier = sc.cut(sources.select(F.col("s"), F.col("s").alias("v"),
+                                     F.lit(1.0).alias("sigma")), "lv0")
     levels = [frontier]
     depth = 0
     while depth < max_depth:
@@ -70,18 +61,19 @@ def _brandes(g: Graph, sources: DataFrame, workdir: str,
             levels[-1].join(sym.withColumnRenamed("src", "v"), "v")
             .select("s", F.col("dst").alias("v"), "sigma")
         )
-        nxt = _cut(
+        nxt, m = sc.cut_observed(
             msgs.groupBy("s", "v").agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["s", "v"], "left_anti"),
-            workdir, f"lv{depth + 1}")
-        if nxt.isEmpty():
+            [F.count(F.lit(1)).alias("rows")],
+            name=f"lv{depth + 1}")
+        if int(m["rows"] or 0) == 0:
             break
         levels.append(nxt)
         depth += 1
     return levels, sym
 
 
-def _accumulate(levels, sym, workdir):
+def _accumulate(levels, sym, sc: Scratch):
     """Backward pass: per-source dependencies δ(s, v), all levels."""
     deltas = None  # union of (s, v, delta) across processed levels
     delta_above = None  # (s, v, delta) for level l+1
@@ -105,7 +97,7 @@ def _accumulate(levels, sym, workdir):
             .agg(F.sum(F.col("sigma") / F.col("sigma_w")
                        * (1.0 + F.col("delta_w"))).alias("delta"))
         )
-        contrib = _cut(contrib, workdir, f"delta{l}")
+        contrib = sc.cut(contrib, f"delta{l}")
         delta_above = contrib
         deltas = contrib if deltas is None else deltas.union(contrib)
     return deltas
@@ -119,9 +111,9 @@ def betweenness(g: Graph, normalized: bool = False,
     convention (Betweenness.cpp; bc[2]=15 golden)."""
     if sources is None:
         sources = g.vertices.select(F.col("id").alias("s"))
-    workdir = tempfile.mkdtemp(prefix="nks-bw-")
-    levels, sym = _brandes(g, sources, workdir)
-    deltas = _accumulate(levels, sym, workdir)
+    sc = Scratch(g.edges.sparkSession, "bw")
+    levels, sym = _brandes(g, sources, sc)
+    deltas = _accumulate(levels, sym, sc)
     if deltas is None:
         out = g.vertices.select("id", F.lit(0.0).alias("score"))
     else:
@@ -142,7 +134,7 @@ def betweenness(g: Graph, normalized: bool = False,
     out = out.persist()
     out.count()
     sym.unpersist()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out
 
 
@@ -165,11 +157,16 @@ def estimate_betweenness(g: Graph, n_samples: int, seed: int = 42,
 def edge_betweenness(g: Graph, sources: DataFrame | None = None) -> DataFrame:
     """(src, dst, score): per-edge betweenness — the DAG-edge
     contribution σ_v/σ_w·(1+δ(w)) summed over sources
-    (Betweenness.cpp computeEdgeCentrality)."""
+    (Betweenness.cpp computeEdgeCentrality).
+
+    On undirected graphs each edge appears in both BFS-DAG orientations;
+    the reference accumulates ONE score per undirected edge, so the
+    final aggregation groups by (least, greatest) and sums the two
+    orientations — one output row per undirected edge, src < dst."""
     if sources is None:
         sources = g.vertices.select(F.col("id").alias("s"))
-    workdir = tempfile.mkdtemp(prefix="nks-bw-")
-    levels, sym = _brandes(g, sources, workdir)
+    sc = Scratch(g.edges.sparkSession, "bw")
+    levels, sym = _brandes(g, sources, sc)
     per_edge = None
     delta_above = None
     for l in range(len(levels) - 2, -1, -1):
@@ -192,21 +189,27 @@ def edge_betweenness(g: Graph, sources: DataFrame | None = None) -> DataFrame:
                     (F.col("sigma") / F.col("sigma_w")
                      * (1.0 + F.col("delta_w"))).alias("c"))
         )
-        edge_c = _cut(dag.groupBy("v", "w").agg(F.sum("c").alias("score")),
-                      workdir, f"ec{l}")
+        edge_c = sc.cut(dag.groupBy("v", "w").agg(F.sum("c").alias("score")),
+                        f"ec{l}")
         per_edge = edge_c if per_edge is None else per_edge.union(edge_c)
-        delta_above = _cut(
+        delta_above = sc.cut(
             dag.groupBy("s", "v").agg(F.sum("c").alias("delta")),
-            workdir, f"ed{l}")
+            f"ed{l}")
     if per_edge is None:
         out = g.edges.select("src", "dst", F.lit(0.0).alias("score"))
-    else:
+    elif g.directed:
         out = (
             per_edge.groupBy(F.col("v").alias("src"), F.col("w").alias("dst"))
+            .agg(F.sum("score").alias("score"))
+        )
+    else:
+        out = (
+            per_edge.groupBy(F.least("v", "w").alias("src"),
+                             F.greatest("v", "w").alias("dst"))
             .agg(F.sum("score").alias("score"))
         )
     out = out.persist()
     out.count()
     sym.unpersist()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out

@@ -8,7 +8,8 @@ Reference semantics:
     (unreachable contributes 0 — no connectedness requirement);
     normalized divides by (n−1).
   - ApproxCloseness.cpp — sampled-source estimator: Σdist estimated as
-    (n/k)·Σ_{sampled s} dist(s, v).
+    (n/k)·Σ_{sampled s} dist(s, v). Undirected only — the estimator
+    aggregates over the TARGET side and relies on BFS symmetry.
   - TopCloseness.cpp — top-k by (closeness desc, id asc). The
     reference prunes per-node BFS with NBcut bounds; distributed batch
     BFS computes all sources at once, so ranking the full result is the
@@ -20,27 +21,29 @@ Reference semantics:
 
 All built on the batched multi-source BFS of operators/betweenness
 (levels[l] = vertices first reached at distance l, parquet-cut per
-level): distances never materialize as an n×n table — per-source
-aggregates fold each level as it streams.
+level into the shared NKS_STATE_DIR scratch — cluster-portable):
+distances never materialize as an n×n table — per-source aggregates
+fold each level as it streams. ``_dist_rows`` returns ``rows=None``
+when no vertex is reached beyond distance 0 (edgeless graph); every
+caller guards that and returns the all-zero result.
 """
 
 from __future__ import annotations
-
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.betweenness import _brandes
+from networkit_spark.plans.scratch import Scratch
 
 
 def _dist_rows(g: Graph, sources: DataFrame | None = None):
-    """(s, v, d) for all finite distances d ≥ 1, via BFS strata."""
+    """(s, v, d) for all finite distances d ≥ 1, via BFS strata.
+    Returns (rows_or_None, scratch) — caller cleans up the scratch."""
     if sources is None:
         sources = g.vertices.select(F.col("id").alias("s"))
-    workdir = tempfile.mkdtemp(prefix="nks-close-")
-    levels, sym = _brandes(g, sources, workdir)
+    sc = Scratch(g.edges.sparkSession, "close")
+    levels, sym = _brandes(g, sources, sc)
     rows = None
     for l, lv in enumerate(levels):
         if l == 0:
@@ -48,7 +51,13 @@ def _dist_rows(g: Graph, sources: DataFrame | None = None):
         r = lv.select("s", "v", F.lit(l).cast("long").alias("d"))
         rows = r if rows is None else rows.union(r)
     sym.unpersist()
-    return rows, workdir
+    return rows, sc
+
+
+def _zero_scores(g: Graph) -> DataFrame:
+    out = g.vertices.select("id", F.lit(0.0).alias("score")).persist()
+    out.count()
+    return out
 
 
 def closeness(g: Graph, normalized: bool = False,
@@ -59,7 +68,10 @@ def closeness(g: Graph, normalized: bool = False,
             connected_components, num_components)
         if num_components(connected_components(g)) != 1:
             raise ValueError("Closeness is undefined on disconnected graphs")
-    rows, workdir = _dist_rows(g)
+    rows, sc = _dist_rows(g)
+    if rows is None:
+        sc.cleanup()
+        return _zero_scores(g)
     n = g.vertices.count()
     agg = rows.groupBy("s").agg((1.0 / F.sum("d")).alias("score"))
     if normalized:
@@ -69,13 +81,16 @@ def closeness(g: Graph, normalized: bool = False,
         .select("id", F.coalesce("score", F.lit(0.0)).alias("score")) \
         .persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out
 
 
 def harmonic_closeness(g: Graph, normalized: bool = False) -> DataFrame:
     """(id, score): Σ 1/dist — defined on disconnected graphs."""
-    rows, workdir = _dist_rows(g)
+    rows, sc = _dist_rows(g)
+    if rows is None:
+        sc.cleanup()
+        return _zero_scores(g)
     n = g.vertices.count()
     agg = rows.groupBy("s").agg(F.sum(1.0 / F.col("d")).alias("score"))
     if normalized:
@@ -85,7 +100,7 @@ def harmonic_closeness(g: Graph, normalized: bool = False) -> DataFrame:
         .select("id", F.coalesce("score", F.lit(0.0)).alias("score")) \
         .persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out
 
 
@@ -93,14 +108,24 @@ def approx_closeness(g: Graph, n_samples: int, seed: int = 42,
                      normalized: bool = False) -> DataFrame:
     """ApproxCloseness: closeness from k hash-sampled BFS sources —
     Σdist(v) estimated as (n/k)·Σ_{sampled s} dist(s, v). Exact when
-    n_samples ≥ n."""
+    n_samples ≥ n. Undirected graphs only: the estimator aggregates
+    distances over the TARGET side, which equals source-side closeness
+    only by BFS symmetry."""
+    if g.directed:
+        raise ValueError(
+            "approx_closeness requires an undirected graph (target-side "
+            "aggregation relies on BFS symmetry); use closeness() or "
+            "harmonic_closeness() on directed graphs")
     n = g.vertices.count()
     k = min(n_samples, n)
     sources = (
         g.vertices.select(F.col("id").alias("s"))
         .orderBy(F.xxhash64("s", F.lit(seed))).limit(k)
     )
-    rows, workdir = _dist_rows(g, sources)
+    rows, sc = _dist_rows(g, sources)
+    if rows is None:
+        sc.cleanup()
+        return _zero_scores(g)
     # aggregate over TARGET v: by symmetry of undirected BFS this
     # estimates each v's distance sum from the sampled sources
     agg = rows.groupBy(F.col("v").alias("id")).agg(
@@ -111,7 +136,7 @@ def approx_closeness(g: Graph, n_samples: int, seed: int = 42,
     out = g.vertices.join(agg, "id", "left").select(
         "id", F.coalesce("score", F.lit(0.0)).alias("score")).persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out
 
 
@@ -123,12 +148,18 @@ def top_closeness(g: Graph, k: int, normalized: bool = False) -> DataFrame:
 
 def eccentricity(g: Graph) -> DataFrame:
     """(id, ecc): max finite distance per node (Eccentricity.cpp)."""
-    rows, workdir = _dist_rows(g)
+    rows, sc = _dist_rows(g)
+    if rows is None:
+        sc.cleanup()
+        out = g.vertices.select(
+            "id", F.lit(0).cast("long").alias("ecc")).persist()
+        out.count()
+        return out
     agg = rows.groupBy(F.col("s").alias("id")).agg(F.max("d").alias("ecc"))
     out = g.vertices.join(agg, "id", "left").select(
         "id", F.coalesce("ecc", F.lit(0)).cast("long").alias("ecc")).persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out
 
 
@@ -137,9 +168,12 @@ def diameter(g: Graph, algo: str = "exact", seed: int = 42) -> int:
     double-sweep lower-bound estimate (Diameter.cpp estimate modes):
     BFS from a pivot, then BFS from its farthest node — 2 BFS total."""
     if algo == "exact":
-        rows, workdir = _dist_rows(g)
+        rows, sc = _dist_rows(g)
+        if rows is None:
+            sc.cleanup()
+            return 0
         d = rows.agg(F.max("d")).collect()[0][0]
-        shutil.rmtree(workdir, ignore_errors=True)
+        sc.cleanup()
         return int(d or 0)
     if algo != "estimate":
         raise ValueError(f"unknown diameter algo: {algo}")
@@ -147,21 +181,30 @@ def diameter(g: Graph, algo: str = "exact", seed: int = 42) -> int:
              .limit(1).collect()[0]["id"])
     spark = g.edges.sparkSession
     s1 = spark.createDataFrame([(int(pivot),)], "s long")
-    rows, workdir = _dist_rows(g, s1)
+    rows, sc = _dist_rows(g, s1)
+    if rows is None:
+        sc.cleanup()
+        return 0
     far = rows.orderBy(F.desc("d"), F.asc("v")).limit(1).collect()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     if not far:
         return 0
     s2 = spark.createDataFrame([(int(far[0]["v"]),)], "s long")
-    rows2, workdir2 = _dist_rows(g, s2)
+    rows2, sc2 = _dist_rows(g, s2)
+    if rows2 is None:
+        sc2.cleanup()
+        return 0
     d = rows2.agg(F.max("d")).collect()[0][0]
-    shutil.rmtree(workdir2, ignore_errors=True)
+    sc2.cleanup()
     return int(d or 0)
 
 
 def group_degree(g: Graph, k: int) -> list[int]:
     """GroupDegree.cpp greedy: repeatedly add the node covering the most
-    uncovered neighbors. k driver rounds of one aggregation each."""
+    uncovered neighbors. k driver rounds of one aggregation each —
+    driver-bound in k only (each round is one distributed agg + a
+    1-row collect), fine for the small group sizes the reference
+    targets; not meant for k in the thousands."""
     sym = g.edges.filter("src != dst").select("src", "dst")
     sym = sym.union(sym.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst"))).distinct().persist()

@@ -33,21 +33,18 @@ aggregation, the same cost class as the move step), the best partition
 seen is retained, and the loop stops at a true fixpoint (zero moves on
 both parities) or when modularity hasn't improved for ``patience``
 rounds — returning the best, not the last, state. Per-round lineage is
-cut by a parquet round-trip (the engine's standard cut; see
+cut by a cluster-portable parquet round-trip (plans/scratch.py; see
 plans/superstep.py on why not localCheckpoint).
 """
 
 from __future__ import annotations
-
-import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.coarsening import coarsen
 from networkit_spark.operators.lpa import modularity
+from networkit_spark.plans.scratch import Scratch
 
 
 def _local_move(g: Graph, gamma: float, max_rounds: int,
@@ -81,12 +78,10 @@ def _local_move(g: Graph, gamma: float, max_rounds: int,
     )
     vols.count()
 
-    workdir = tempfile.mkdtemp(prefix="nks-plm-")
+    scratch = Scratch(spark, "plm")
 
     def cut(df: DataFrame, rnd: int) -> DataFrame:
-        path = os.path.join(workdir, f"r{rnd}")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return scratch.cut(df, f"r{rnd}")
 
     if init_labels is not None:
         labels = cut(init_labels.select("id", "label"), 0)
@@ -171,7 +166,7 @@ def _local_move(g: Graph, gamma: float, max_rounds: int,
     out.count()
     sym.unpersist()
     vols.unpersist()
-    shutil.rmtree(workdir, ignore_errors=True)
+    scratch.cleanup()
     return out
 
 

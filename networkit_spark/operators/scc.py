@@ -16,44 +16,42 @@ subgraph
   4. remove the peeled vertices and repeat.
 Outer rounds are bounded by the longest chain in the condensation DAG;
 inner fixpoints by the (remaining) diameter. Every loop iteration is a
-join + aggregation with a parquet lineage cut (plans/superstep.py
-rationale).
+join + aggregation with a cluster-portable parquet lineage cut
+(plans/scratch.py); loop conditions (changed counts, remaining-vertex
+counts) are fused into the cut writes as observation metrics — zero
+extra jobs per iteration.
 
 Labels: component = max vertex id in the SCC (the root), mirroring the
 engine's min/max-label CC convention. Isolated and acyclic vertices end
-as singleton components.
+as singleton components. Iteration caps are HARD errors, not silent
+truncation: exhausting ``max_inner`` (a cycle longer than the cap) or
+``max_outer`` (a longer condensation chain) raises rather than
+returning split/singleton-mislabeled components.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
-
+from networkit_spark.plans.scratch import Scratch
 
 def strongly_connected_components(g: Graph, max_outer: int = 64,
                                   max_inner: int = 256) -> DataFrame:
     """(id, component): SCC label per vertex (max member id)."""
     spark = g.edges.sparkSession
-    workdir = tempfile.mkdtemp(prefix="nks-scc-")
-    step = [0]
+    _COUNT = F.count(F.lit(1)).alias("rows")
+    sc = Scratch(spark, "scc")
 
-    def cut(df: DataFrame) -> DataFrame:
-        step[0] += 1
-        path = os.path.join(workdir, f"s{step[0]}")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    edges = cut(g.edges.filter("src != dst").select("src", "dst").distinct())
-    verts = cut(g.vertices.select("id"))
+    edges = sc.cut(g.edges.filter("src != dst").select("src", "dst").distinct())
+    verts, vm = sc.cut_observed(g.vertices.select("id"), [_COUNT])
+    n_left = int(vm["rows"] or 0)
     assigned = None  # (id, component)
+    exhausted = True
 
     for _ in range(max_outer):
-        if verts.isEmpty():
+        if n_left == 0:
+            exhausted = False
             break
         # 0. TRIM: a vertex with no in-edges or no out-edges in the
         # remaining subgraph is a singleton SCC — peeling these layers
@@ -64,22 +62,28 @@ def strongly_connected_components(g: Graph, max_outer: int = 64,
             has_out = edges.select(F.col("src").alias("id")).distinct()
             has_in = edges.select(F.col("dst").alias("id")).distinct()
             nontrivial = has_out.join(has_in, "id")
-            trivial = cut(verts.join(nontrivial, "id", "left_anti"))
-            if trivial.isEmpty():
+            trivial, tm = sc.cut_observed(
+                verts.join(nontrivial, "id", "left_anti"), [_COUNT])
+            n_triv = int(tm["rows"] or 0)
+            if n_triv == 0:
                 break
+            n_left -= n_triv
             triv_assigned = trivial.select("id", F.col("id").alias("component"))
-            assigned = triv_assigned if assigned is None else cut(
+            assigned = triv_assigned if assigned is None else sc.cut(
                 assigned.union(triv_assigned))
-            verts = cut(verts.join(trivial, "id", "left_anti"))
-            edges = cut(
+            verts = sc.cut(verts.join(trivial, "id", "left_anti"))
+            edges = sc.cut(
                 edges.join(trivial.withColumnRenamed("id", "src"),
                            "src", "left_anti")
                 .join(trivial.withColumnRenamed("id", "dst"),
                       "dst", "left_anti"))
-        if verts.isEmpty():
+        if n_left == 0:
+            exhausted = False
             break
-        # 1. forward max-label propagation to fixpoint
-        color = cut(verts.select("id", F.col("id").alias("color")))
+        # 1. forward max-label propagation to fixpoint. The changed
+        # count rides the cut write as an observation metric.
+        color = sc.cut(verts.select("id", F.col("id").alias("color")))
+        converged = False
         for _ in range(max_inner):
             msgs = (
                 edges.join(color.select(F.col("id").alias("src"),
@@ -87,22 +91,30 @@ def strongly_connected_components(g: Graph, max_outer: int = 64,
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.max("c").alias("mc"))
             )
-            nxt = cut(
+            color, cm = sc.cut_observed(
                 color.join(msgs, "id", "left")
-                .select("id", F.greatest("color", F.coalesce("mc", "color"))
-                        .alias("color")))
-            changed = (
-                nxt.join(color.withColumnRenamed("color", "old"), "id")
-                .filter(F.col("color") != F.col("old")).isEmpty()
-            )
-            color = nxt
-            if changed:
+                .select("id",
+                        F.greatest("color", F.coalesce("mc", "color"))
+                        .alias("color"),
+                        F.coalesce(F.col("mc") > F.col("color"),
+                                   F.lit(False)).cast("long").alias("_chg")),
+                [F.sum("_chg").alias("chg")],
+                keep=["id", "color"])
+            if int(cm["chg"] or 0) == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                "SCC forward coloring did not reach a fixpoint in "
+                f"{max_inner} rounds (a directed cycle longer than the cap?); "
+                "raise max_inner — returning now would split an SCC")
         # 2-3. backward closure from roots within their color class
-        members = cut(color.filter(F.col("id") == F.col("color"))
-                      .select("id", F.col("id").alias("component")))
+        members, mm = sc.cut_observed(
+            color.filter(F.col("id") == F.col("color"))
+            .select("id", F.col("id").alias("component")), [_COUNT])
+        n_members = int(mm["rows"] or 0)
         while True:
-            grown = (
+            grown, gm = sc.cut_observed(
                 edges.join(members.select(F.col("id").alias("dst"),
                                           "component"), "dst")
                 .select(F.col("src").alias("id"), "component")
@@ -110,26 +122,32 @@ def strongly_connected_components(g: Graph, max_outer: int = 64,
                 .filter(F.col("color") == F.col("component"))
                 .select("id", "component")
                 .join(members.select("id"), "id", "left_anti")
-                .distinct()
-            )
-            grown = cut(grown)
-            if grown.isEmpty():
+                .distinct(), [_COUNT])
+            if int(gm["rows"] or 0) == 0:
                 break
-            members = cut(members.union(grown))
-        assigned = members if assigned is None else cut(
+            n_members += int(gm["rows"] or 0)
+            members = sc.cut(members.union(grown))
+        assigned = members if assigned is None else sc.cut(
             assigned.union(members))
         # 4. peel
-        verts = cut(verts.join(members.select("id"), "id", "left_anti"))
-        edges = cut(
+        n_left -= n_members
+        verts = sc.cut(verts.join(members.select("id"), "id", "left_anti"))
+        edges = sc.cut(
             edges.join(members.select(F.col("id").alias("src")),
                        "src", "left_anti")
             .join(members.select(F.col("id").alias("dst")), "dst", "left_anti"))
+
+    if exhausted and n_left > 0:
+        raise RuntimeError(
+            f"SCC peeling left {n_left} vertices after {max_outer} outer "
+            "rounds (condensation chain longer than the cap?); raise "
+            "max_outer — returning now would mislabel them as singletons")
 
     out = g.vertices.join(assigned, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     ).persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    sc.cleanup()
     return out
 
 

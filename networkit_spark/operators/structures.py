@@ -21,26 +21,16 @@ Each round is a join + aggregation with a parquet lineage cut.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, functions as F
 
 from networkit_spark.graph import Graph
+from networkit_spark.plans.scratch import Scratch
 
 
 def _cutter(spark):
-    workdir = tempfile.mkdtemp(prefix="nks-struct-")
-    step = [0]
-
-    def cut(df: DataFrame) -> DataFrame:
-        step[0] += 1
-        path = os.path.join(workdir, f"s{step[0]}")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    return cut, workdir
+    """Cluster-portable lineage cutter (plans/scratch.py)."""
+    sc = Scratch(spark, "struct")
+    return sc.cut, sc
 
 
 def _sym(g: Graph) -> DataFrame:
@@ -54,7 +44,7 @@ def maximal_independent_set(g: Graph, seed: int = 42,
                             max_rounds: int = 128) -> DataFrame:
     """(id, in_mis): Luby's MIS. Deterministic hash priorities per round."""
     spark = g.edges.sparkSession
-    cut, workdir = _cutter(spark)
+    cut, scratch = _cutter(spark)
     sym = cut(_sym(g))
     remaining = cut(g.vertices.select("id"))
     mis = None
@@ -90,7 +80,7 @@ def maximal_independent_set(g: Graph, seed: int = 42,
     ).persist() if mis is not None else g.vertices.select(
         "id", F.lit(False).alias("in_mis")).persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    scratch.cleanup()
     return out
 
 
@@ -100,7 +90,7 @@ def maximal_matching(g: Graph, seed: int = 42,
     every remaining vertex points at its best-priority incident edge;
     mutually-pointed edges are matched; matched vertices leave."""
     spark = g.edges.sparkSession
-    cut, workdir = _cutter(spark)
+    cut, scratch = _cutter(spark)
     sym = cut(_sym(g))
     matched = None
     for r in range(max_rounds):
@@ -138,7 +128,7 @@ def maximal_matching(g: Graph, seed: int = 42,
     else:
         out = matched.persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    scratch.cleanup()
     return out
 
 
@@ -167,7 +157,7 @@ def spanning_forest(g: Graph, max_depth: int = 1 << 20) -> DataFrame:
     from networkit_spark.operators.components import connected_components
 
     spark = g.edges.sparkSession
-    cut, workdir = _cutter(spark)
+    cut, scratch = _cutter(spark)
     sym = cut(_sym(g))
     labels = connected_components(g)
     roots = labels.select(F.col("component").alias("id")).distinct()
@@ -193,5 +183,5 @@ def spanning_forest(g: Graph, max_depth: int = 1 << 20) -> DataFrame:
     else:
         out = tree.select("parent", "child").persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    scratch.cleanup()
     return out

@@ -45,7 +45,6 @@ import glob
 import json
 import os
 import shutil
-import tempfile
 import time
 from typing import Callable
 
@@ -79,7 +78,13 @@ class SuperstepRunner:
         self.spark = spark
         self.job_id = job_id
         if ephemeral:
-            state_dir = tempfile.mkdtemp(prefix="nks-state-")
+            # throwaway state still lives under the SHARED root (not
+            # driver /tmp) so ephemeral runs stay cluster-portable
+            import uuid
+
+            from networkit_spark.plans.scratch import state_root
+            state_dir = "%s/ephemeral/%s" % (
+                state_root().rstrip("/"), uuid.uuid4().hex[:12])
             resume = False
         self.state_dir = state_dir or os.environ.get("NKS_STATE_DIR", "/root/repo/.state")
         self.job_dir = os.path.join(self.state_dir, job_id)
@@ -288,5 +293,15 @@ class SuperstepRunner:
         if self.ephemeral:
             out = out.persist()
             out.count()
-            shutil.rmtree(self.state_dir, ignore_errors=True)
+            self._rm(self.state_dir)
         return out
+
+    def _rm(self, path: str) -> None:
+        """Scheme-aware recursive delete (hdfs://s3a://file all work)."""
+        try:
+            jvm = self.spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)

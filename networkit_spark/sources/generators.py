@@ -322,22 +322,16 @@ def edge_switching(edges: DataFrame, rounds: int = 10,
     edge. Fully distributed — one window + one anti-join per round;
     deterministic under the seed. Input/output: undirected canonical
     (src < dst), deduplicated."""
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window
 
-    spark = edges.sparkSession
-    workdir = tempfile.mkdtemp(prefix="nks-swap-")
+    from networkit_spark.plans.scratch import Scratch
 
-    def cut(df, name):
-        # parquet lineage cut: each round references the edge set ~6
-        # times (pairing, exists-check, rebuild) — without a cut the
-        # logical plan grows 6^rounds (see plans/superstep.py)
-        path = os.path.join(workdir, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    spark = edges.sparkSession
+    # parquet lineage cut: each round references the edge set ~6
+    # times (pairing, exists-check, rebuild) — without a cut the
+    # logical plan grows 6^rounds (see plans/superstep.py)
+    scratch = Scratch(spark, "swap")
+    cut = scratch.cut
 
     e = cut(edges.select(F.least("src", "dst").alias("src"),
                          F.greatest("src", "dst").alias("dst")).distinct(),
@@ -395,5 +389,5 @@ def edge_switching(edges: DataFrame, rounds: int = 10,
         e = cut(e, f"r{r + 1}")
     out = e.persist()
     out.count()
-    shutil.rmtree(workdir, ignore_errors=True)
+    scratch.cleanup()
     return out
