@@ -40,31 +40,53 @@ def _power_iteration(
         msgs_edges = e.select(F.col("dst").alias("from"), F.col("src").alias("to"), "weight")
     msgs_edges = msgs_edges.persist()
 
+    # LAZY normalization — ONE action per superstep. State holds the RAW
+    # (unnormalized) vector; its L2 norm rides the checkpoint write as
+    # the ``_norm2`` observation metric, and the NEXT step folds the
+    # scalar division into its gather expression (x_k = raw_k/‖raw_k‖ is
+    # a plan-time constant divide, not a job). The normalized sequence
+    # is identical to eager per-step normalization: x_{k+1} =
+    # T(A·x_k)/‖T(A·x_k)‖ either way. Convergence (‖x_k − x_{k-1}‖, both
+    # norms known) is therefore checked one superstep LATE — the loop
+    # runs at most one extra cheap step instead of one extra full job
+    # per step (round-2 "What's wrong" #3).
+    init_norm = (1.0 / max(n, 1)) * (max(n, 1) ** 0.5)  # ‖(1/n,…,1/n)‖₂
+
     def init_fn() -> DataFrame:
-        return vertices.select("id", F.lit(1.0 / max(n, 1)).alias("score"))
+        return vertices.select("id", F.lit(1.0 / max(n, 1)).alias("score"),
+                               F.lit(0.0).alias("_prevx"))
+
+    def norm_of(k: int) -> float:
+        """‖raw_k‖₂ of the state entering step k, from the metrics
+        recorded when that state was checkpointed."""
+        if runner is not None:
+            m = next((m for m in reversed(runner.history)
+                      if m.get("iter") == k - 1), None)
+            if m is not None and m.get("norm2"):
+                return float(m["norm2"]) ** 0.5 or 1.0
+        return init_norm or 1.0
 
     def step_fn(state: DataFrame, k: int) -> DataFrame:
-        s = state.select("id", "score")
+        nrm = norm_of(k)
+        x = (F.col("score") / F.lit(nrm))
+        s = state.select("id", x.alias("x"),
+                         (x - F.col("_prevx")).alias("_delta"))
         gathered = (
-            msgs_edges.join(s.withColumnRenamed("id", "from"), "from")
+            msgs_edges.join(s.select(F.col("id").alias("from"), "x"), "from")
             .groupBy(F.col("to").alias("id"))
-            .agg(F.sum(F.col("weight") * F.col("score")).alias("gath"))
+            .agg(F.sum(F.col("weight") * F.col("x")).alias("gath"))
         )
         raw = (
             vertices.join(gathered, "id", "left")
-            .select("id", transform(F.coalesce(F.col("gath"), F.lit(0.0))).alias("raw"))
-        )
-        total = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).collect()[0][0]
-        total = float(total or 1.0) or 1.0
-        return (
-            raw.join(s.select("id", F.col("score").alias("_prev")), "id", "left")
+            .join(s, "id", "left")
             .select(
                 "id",
-                (F.col("raw") / F.lit(total)).alias("score"),
-                ((F.col("raw") / F.lit(total))
-                 - F.coalesce("_prev", F.lit(0.0))).alias("_delta"),
+                transform(F.coalesce(F.col("gath"), F.lit(0.0))).alias("score"),
+                F.coalesce("x", F.lit(0.0)).alias("_prevx"),
+                F.coalesce("_delta", F.lit(0.0)).alias("_delta"),
             )
         )
+        return raw.withColumn("_norm2", F.col("score") * F.col("score"))
 
     def stop_fn(metrics: dict, k: int) -> bool:
         if fixed_iters is not None:
@@ -73,9 +95,18 @@ def _power_iteration(
 
     if runner is None:
         runner = SuperstepRunner(spark, job_id=job_id, ephemeral=True)
-    return runner.run(
+    out = runner.run(
         init_fn, step_fn, stop_fn,
         max_iter=(fixed_iters if fixed_iters is not None else max_iter))
+    # final normalization: the last checkpoint already measured ‖raw‖₂
+    last = runner.history[-1] if runner.history else None
+    if last is not None and last.get("norm2"):
+        total = float(last["norm2"]) ** 0.5 or 1.0
+    else:  # zero supersteps ran (resume-complete or max_iter=0)
+        total = float(out.agg(
+            F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
+            or 1.0) or 1.0
+    return out.select("id", (F.col("score") / F.lit(total)).alias("score"))
 
 
 def eigenvector_centrality(g: Graph, tol: float = 1e-9, max_iter: int = 500,

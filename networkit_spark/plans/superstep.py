@@ -50,7 +50,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
-METRIC_COLS = ("_delta", "_changed")
+METRIC_COLS = ("_delta", "_changed", "_norm2")
 
 
 class SuperstepRunner:
@@ -135,6 +135,8 @@ class SuperstepRunner:
             aggs.append(F.sum(F.abs(F.col("_delta"))).alias("ab"))
         if "_changed" in cols:
             aggs.append(F.sum(F.col("_changed").cast("long")).alias("chg"))
+        if "_norm2" in cols:
+            aggs.append(F.sum(F.col("_norm2")).alias("n2"))
         rows = state.groupBy(F.spark_partition_id().alias("pid")).agg(*aggs).collect()
 
         lineage = [
@@ -154,6 +156,8 @@ class SuperstepRunner:
             metrics["l1_delta"] = sum(float(r["ab"] or 0.0) for r in rows)
         if "_changed" in cols:
             metrics["changed"] = sum(int(r["chg"] or 0) for r in rows)
+        if "_norm2" in cols:
+            metrics["norm2"] = sum(float(r["n2"] or 0.0) for r in rows)
         return metrics
 
     # -- the loop ----------------------------------------------------------
@@ -249,6 +253,8 @@ class SuperstepRunner:
             aggs.append(F.sum(F.abs(F.col("_delta"))).alias("ab"))
         if "_changed" in cols:
             aggs.append(F.sum(F.col("_changed").cast("long")).alias("chg"))
+        if "_norm2" in cols:
+            aggs.append(F.sum(F.col("_norm2")).alias("n2"))
         obs = Observation(f"iter{k}")
         path = self._iter_dir(k)
         df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
@@ -261,6 +267,8 @@ class SuperstepRunner:
             metrics["l1_delta"] = float(got["ab"] or 0.0)
         if "_changed" in cols:
             metrics["changed"] = int(got["chg"] or 0)
+        if "_norm2" in cols:
+            metrics["norm2"] = float(got["n2"] or 0.0)
 
         lineage = []
         try:

@@ -422,7 +422,16 @@ def write_gexf(g: Graph, path: str) -> None:
         f.write("    </edges>\n  </graph>\n</gexf>\n")
 
 
+def _read_gexf_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
+    """Facade-compatible GEXF reader: Graph only (the facade contract is
+    one Graph per read). Dynamic GEXF event streams need read_gexf
+    directly, which returns (Graph, events)."""
+    g, _events = read_gexf(spark, path, **kwargs)
+    return g
+
+
 # GEXF registered after its definitions (the registry dicts above are
 # evaluated at module load, before this point in the file)
+_READERS["gexf"] = _read_gexf_graph
 _WRITERS["gexf"] = write_gexf
 _EXT[".gexf"] = "gexf"

@@ -167,3 +167,29 @@ def test_gexf_dynamic_reference_fixture(spark):
     assert ("EDGE_REMOVAL", 0, 1) in rows
     kinds = {r[0] for r in rows}
     assert "NODE_ADDITION" in kinds and "NODE_REMOVAL" in kinds
+
+
+def test_registry_roundtrip_every_format(spark, tmp_path):
+    # contract: every extension in _EXT whose format has BOTH a reader
+    # and a writer must round-trip through the read_graph/write_graph
+    # facade (round-2 bug: .gexf mapped in _EXT but unreadable)
+    import pytest as _pytest
+    from networkit_spark.sources.io_formats import (
+        _EXT, _READERS, _WRITERS, read_graph, write_graph,
+    )
+    g = Graph.from_rows(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+                        directed=False)
+    want = {(0, 1), (1, 2), (2, 3)}
+    seen = set()
+    for ext, fmt in _EXT.items():
+        assert fmt in _READERS or fmt in _WRITERS, f"dead _EXT entry {ext}"
+        if fmt in seen or fmt not in _READERS or fmt not in _WRITERS:
+            continue
+        seen.add(fmt)
+        path = str(tmp_path / f"g{ext}")
+        write_graph(g, path)
+        g2 = read_graph(spark, path)
+        got = {(min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+               for r in g2.edges.collect()}
+        assert got == want, f"format {fmt} via {ext} did not round-trip"
+    assert {"gexf", "metis", "gml", "graphml", "dot", "edgelist"} <= seen

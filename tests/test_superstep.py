@@ -81,3 +81,36 @@ def test_lineage_fingerprint_deterministic(spark, tmp_path):
         pagerank(g, fixed_iters=3, runner=r)
         fps.append([m["fingerprint"] for m in r.history])
     assert fps[0] == fps[1]  # same input + same supersteps → same lineage
+
+
+def test_power_iteration_one_action_per_superstep(spark):
+    # round-2 "What's wrong" #3: eigen/Katz collected the L2 norm on the
+    # driver every superstep — an extra full job per iteration. The lazy
+    # normalization folds the norm into the next step's expressions via
+    # the _norm2 observation metric; assert the job count stays at
+    # ~one action per superstep (was ~two).
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.centrality import eigenvector_centrality
+
+    g = Graph.from_rows(spark, [(i, i + 1, 1.0) for i in range(8)],
+                        directed=False)
+    g.num_vertices()  # materialize count outside the measured group
+    sc = spark.sparkContext
+    from networkit_spark.plans.superstep import SuperstepRunner
+
+    runner = SuperstepRunner(spark, job_id="eigen-jobcount", ephemeral=True)
+    sc.setJobGroup("eigen-jobcount", "power-iteration action audit")
+    try:
+        out = eigenvector_centrality(g, fixed_iters=6, runner=runner)
+        rows = {r["id"]: r["score"] for r in out.collect()}
+    finally:
+        sc.setJobGroup("", "")
+    assert len(rows) == 9 and abs(sum(v * v for v in rows.values()) - 1.0) < 1e-9
+    # the norm must come from the FUSED observation metric, not a
+    # per-superstep collect: every iteration's metrics carry norm2
+    assert runner.history and all("norm2" in m for m in runner.history)
+    # raw job counts include AQE query-stage and broadcast-exchange jobs
+    # (~8/superstep here); the eager-norm version adds one full
+    # agg+collect query (~3-4 more jobs) per superstep → ~70+ total
+    jobs = sc.statusTracker().getJobIdsForGroup("eigen-jobcount")
+    assert len(jobs) <= 55, f"{len(jobs)} jobs for 6 supersteps"
