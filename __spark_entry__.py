@@ -551,6 +551,16 @@ def q_ecc_pps1(spark, sf_dir):
     return eccentricity(g)
 
 
+def q_hyperbolicity_pps1(spark, sf_dir):
+    """Gromov δ-hyperbolicity of the pp(p_size=1) subgraph (max over
+    its 2 components — Hyperbolicity.cpp 4-point condition)."""
+    from networkit_spark.operators.hyperbolicity import hyperbolicity
+    g = TG.graph_pp_size1(spark, sf_dir)
+    d = hyperbolicity(g, check_connected=False)
+    return spark.createDataFrame([(float(d),)], "delta double").select(
+        _r6(F.col("delta")).alias("delta"))
+
+
 # ---------------------------------------------------------------------------
 # partition quality / similarity measures
 # ---------------------------------------------------------------------------
@@ -683,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_pps1": q_betweenness_pps1,
         "harmonic_pps1": q_harmonic_pps1,
         "ecc_pps1": q_ecc_pps1,
+        "hyperbolicity_pps1": q_hyperbolicity_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,

@@ -191,6 +191,35 @@ bc AS (
 """
 
 
+def _dist_unrolled(L: int = 12) -> str:
+    """CTE chain computing just the BFS distance table of the
+    pp(p_size=1) subgraph (the pv/psym/walks/dist prefix of
+    _brandes_unrolled, without sigma/delta). Produces CTEs:
+    pv, pe, psym, w0..wL, alls, dist."""
+    walks = ["w0 AS MATERIALIZED (SELECT id AS s, id AS v, 1.0 AS c FROM pv)"]
+    for l in range(1, L + 1):
+        walks.append(f"""
+w{l} AS MATERIALIZED (
+  SELECT w.s, e.dst AS v, SUM(w.c) AS c
+  FROM w{l-1} w JOIN psym e ON e.src = w.v GROUP BY 1, 2
+)""")
+    alls = "\n  UNION ALL\n  ".join(
+        f"SELECT s, v, {l} AS l FROM w{l}" for l in range(L + 1))
+    return f"""
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+{",".join(walks)},
+alls AS MATERIALIZED (
+  {alls}
+),
+dist AS MATERIALIZED (SELECT s, v, MIN(l) AS d FROM alls GROUP BY 1, 2)
+"""
+
+
 def _simhash_sql(bits: int = 16) -> str:
     h = _h(999)
     votes = ",\n    ".join(
@@ -1205,6 +1234,27 @@ SELECT p.id, CAST(COALESCE(e.ecc, 0) AS BIGINT) AS ecc
 FROM pv p LEFT JOIN (
   SELECT s AS id, MAX(d) AS ecc FROM dist GROUP BY s
 ) e ON e.id = p.id
+"""
+
+    o["hyperbolicity_pps1"] = f"""
+WITH {PP},
+{_dist_unrolled(12)},
+pairs AS MATERIALIZED (SELECT s AS u, v, d FROM dist WHERE s < v AND d > 0),
+quads AS (
+  SELECT ab.d + cd.d AS s1, ac.d + bd.d AS s2, ad.d + bc_.d AS s3
+  FROM pairs ab
+  JOIN pairs cd
+    ON ab.u < cd.u AND ab.v <> cd.u AND ab.v <> cd.v AND ab.u <> cd.v
+  JOIN dist ac ON ac.s = ab.u AND ac.v = cd.u
+  JOIN dist bd ON bd.s = ab.v AND bd.v = cd.v
+  JOIN dist ad ON ad.s = ab.u AND ad.v = cd.v
+  JOIN dist bc_ ON bc_.s = ab.v AND bc_.v = cd.u
+)
+SELECT (ROUND(COALESCE(MAX(
+         (GREATEST(s1, s2, s3)
+          - (s1 + s2 + s3 - GREATEST(s1, s2, s3) - LEAST(s1, s2, s3)))
+         / 2.0), 0.0), 6) + 0.0) AS delta
+FROM quads
 """
 
     # -- partition quality / similarity -----------------------------------
