@@ -551,6 +551,17 @@ def q_ecc_pps1(spark, sf_dir):
     return eccentricity(g)
 
 
+def q_approx_betweenness_pps1(spark, sf_dir):
+    """RK eps/delta-sampled betweenness on pp(p_size=1). Sampling uses
+    xxhash64-seeded exponential races, which DuckDB cannot bit-reproduce
+    — registered WITHOUT an oracle (rows-only driver check; the eps
+    error bound vs exact Brandes is pytest-verified)."""
+    from networkit_spark.operators.betweenness import approx_betweenness
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return approx_betweenness(g, epsilon=0.2, delta=0.2).select(
+        "id", _r6(F.col("score")).alias("score"))
+
+
 def q_hyperbolicity_pps1(spark, sf_dir):
     """Gromov δ-hyperbolicity of the pp(p_size=1) subgraph (max over
     its 2 components — Hyperbolicity.cpp 4-point condition)."""
@@ -694,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_pps1": q_harmonic_pps1,
         "ecc_pps1": q_ecc_pps1,
         "hyperbolicity_pps1": q_hyperbolicity_pps1,
+        "approx_betweenness_pps1": q_approx_betweenness_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,

@@ -213,3 +213,118 @@ def edge_betweenness(g: Graph, sources: DataFrame | None = None) -> DataFrame:
     sym.unpersist()
     sc.cleanup()
     return out
+
+
+def approx_betweenness(g: Graph, epsilon: float = 0.1, delta: float = 0.1,
+                       universal_constant: float = 1.0,
+                       seed: int = 42) -> DataFrame:
+    """(id, score): RK ε/δ-guaranteed betweenness approximation
+    (ApproxBetweenness.cpp:30-110, Riondato–Kornaropoulos). Samples
+
+        r = ⌈(c/ε²)·(⌊log2(vd−2)⌋ + 1 − ln δ)⌉
+
+    vertex pairs (vd = estimated diameter, c = universal constant),
+    picks ONE shortest path per pair uniformly at random (backward walk
+    choosing each predecessor z of t with probability σ_z/σ_t), and
+    adds 1/r to every interior vertex. Scores estimate bc(v)/(n·(n−1))
+    within ±ε with probability ≥ 1−δ.
+
+    Distributed shape: all r sampled pairs walk SIMULTANEOUSLY —
+    multi-source BFS strata (σ table) once over the distinct sampled
+    sources, then one join-per-level backward: predecessor candidates
+    via edge join, the σ-weighted choice as a deterministic-hash
+    exponential race (min of −ln(U_z)/σ_z picks z w.p. σ_z/Σσ = σ_z/σ_t
+    — Σ over DAG-predecessors of t is exactly σ_t), one min_by per walk.
+    Rounds = max sampled path length ≤ diameter."""
+    import math
+
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
+    from networkit_spark.plans.scratch import Scratch
+
+    spark = g.edges.sparkSession
+    n = g.num_vertices()
+    zeros = g.vertices.select("id", F.lit(0.0).alias("score"))
+    if n < 3:
+        return zeros
+
+    from networkit_spark.operators.closeness import diameter as _diam
+    vd = _diam(g, algo="estimate", seed=seed)
+    if vd <= 2:
+        return zeros
+    r = int(math.ceil((universal_constant / (epsilon * epsilon))
+                      * (math.floor(math.log2(vd - 2)) + 1
+                         - math.log(delta))))
+
+    sc = Scratch(spark, "abw")
+    dense = sc.cut(ordered_dense_ids(g.vertices.select("id"), ["id"],
+                                     "idx"), "dense")
+    big = float(1 << 40)
+    samples = (
+        spark.range(r).select(F.col("id").alias("i"))
+        .withColumn("uidx", F.pmod(F.xxhash64("i", F.lit(seed)), F.lit(n)))
+        .withColumn("shift", 1 + F.pmod(F.xxhash64("i", F.lit(seed + 1)),
+                                        F.lit(n - 1)))
+        .withColumn("vidx", F.pmod(F.col("uidx") + F.col("shift"), F.lit(n)))
+        .join(dense.select(F.col("idx").alias("uidx"),
+                           F.col("id").alias("s")), "uidx")
+        .join(dense.select(F.col("idx").alias("vidx"),
+                           F.col("id").alias("t")), "vidx")
+        .select("i", "s", "t")
+    )
+    samples = sc.cut(samples, "samples")
+
+    sources = samples.select("s").distinct()
+    levels, sym = _brandes(g, sources, sc)
+    sig = None  # (s, v, d, sigma)
+    for l, lv in enumerate(levels):
+        rr = lv.select("s", "v", F.lit(l).cast("long").alias("d"), "sigma")
+        sig = rr if sig is None else sig.union(rr)
+    sig = sc.cut(sig, "sigma")
+
+    # walks start at the target (if reachable) at its BFS depth
+    state, m = sc.cut_observed(
+        samples.join(sig.select("s", F.col("v").alias("t"), "d"),
+                     ["s", "t"])
+        .filter(F.col("d") >= 1).select("i", "s", "t", "d"),
+        [F.count(F.lit(1)).alias("rows")], name="walk0")
+    contribs = None
+    rnd = 0
+    while int(m["rows"] or 0) > 0:
+        rnd += 1
+        cand = (
+            state.join(sym.select(F.col("src").alias("z"),
+                                  F.col("dst").alias("t")), "t")
+            .join(sig.select("s", F.col("v").alias("z"),
+                             F.col("d").alias("dz"),
+                             F.col("sigma").alias("sz")),
+                  ["s", "z"])
+            .filter(F.col("dz") == F.col("d") - 1)
+        )
+        u01 = (F.pmod(F.xxhash64("i", "d", "z", F.lit(seed + 2)),
+                      F.lit(1 << 40)).cast("double") + 0.5) / F.lit(big)
+        picks = (
+            cand.withColumn("rk", -F.log(u01) / F.col("sz"))
+            .groupBy("i")
+            .agg(F.min(F.struct("rk", "z", "s", "dz")).alias("b"))
+            .select("i", F.col("b.s").alias("s"),
+                    F.col("b.z").alias("t"), F.col("b.dz").alias("d"))
+        )
+        state, m = sc.cut_observed(
+            picks.filter(F.col("d") >= 1),
+            [F.count(F.lit(1)).alias("rows")], name=f"walk{rnd}")
+        contribs = state.select("i", F.col("t").alias("id")) if contribs \
+            is None else contribs.union(state.select("i", F.col("t").alias("id")))
+        if rnd % 8 == 0 and contribs is not None:
+            contribs = sc.cut(contribs, f"contrib{rnd}")
+
+    if contribs is None:
+        out = zeros.persist()
+    else:
+        scores = contribs.groupBy("id").agg(
+            (F.count(F.lit(1)) / F.lit(float(r))).alias("score"))
+        out = g.vertices.join(scores, "id", "left").select(
+            "id", F.coalesce("score", F.lit(0.0)).alias("score")).persist()
+    out.count()
+    sym.unpersist()
+    sc.cleanup()
+    return out

@@ -87,3 +87,34 @@ def test_edge_betweenness_path(spark):
         canon[tuple(sorted((r["src"], r["dst"])))] += r["score"]
     assert canon[(0, 1)] == pytest.approx(4.0)
     assert canon[(1, 2)] == pytest.approx(4.0)
+
+
+def test_approx_betweenness_rk_error_bound(spark, karate):
+    # ApproxBetweenness.cpp (RK): scores estimate bc/(n(n-1)) within
+    # +-eps w.p. >= 1-delta; CentralityGTest.cpp:104 smoke fixture
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.betweenness import (
+        approx_betweenness, betweenness,
+    )
+
+    edges, n = karate
+    g = Graph.from_rows(spark, [(u, v, 1.0) for u, v in edges],
+                        directed=False)
+    exact = {r["id"]: r["score"]
+             for r in betweenness(g).collect()}  # ordered-pair convention
+    approx = {r["id"]: r["score"]
+              for r in approx_betweenness(g, epsilon=0.1, delta=0.1).collect()}
+    assert set(approx) == set(exact)
+    norm = n * (n - 1)
+    worst = max(abs(approx[v] - exact[v] / norm) for v in exact)
+    assert worst <= 0.1, f"RK error {worst} exceeds eps"
+
+
+def test_approx_betweenness_tiny_diameter_zero(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.betweenness import approx_betweenness
+
+    k4 = Graph.from_rows(spark, [(u, v, 1.0) for u in range(4)
+                                 for v in range(u + 1, 4)], directed=False)
+    out = approx_betweenness(k4)
+    assert all(r["score"] == 0.0 for r in out.collect())
