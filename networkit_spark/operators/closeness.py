@@ -229,3 +229,59 @@ def group_degree(g: Graph, k: int) -> list[int]:
         covered = covered.persist()
     sym.unpersist()
     return group
+
+
+def group_closeness(g: Graph, k: int) -> list[int]:
+    """GroupCloseness.cpp greedy: grow a k-set S maximizing group
+    closeness — each round add the node u with the largest improvement
+    Σ_v max(0, d(S, v) − d(u, v)) (computeImprovement semantics, exact
+    distances; the reference's H-bounded BFS is a serial-work heuristic,
+    not a semantic difference). Ties break to the smaller id.
+
+    Distributed shape: ONE batched all-source BFS up front (the dist
+    table (u, v, d) — the same strata substrate as closeness), then k
+    driver rounds of one join + one aggregation each: d(S, ·) is a
+    vertex-sized column updated by least() after each pick. Unreachable
+    pairs use the sentinel 2n (> any finite distance)."""
+    n = g.vertices.count()
+    if k <= 0 or n == 0:
+        return []
+    rows, sc = _dist_rows(g)
+    if rows is None:
+        # edgeless: any k nodes are optimal; smallest ids, det.
+        ids = [r["id"] for r in
+               g.vertices.orderBy("id").limit(k).collect()]
+        sc.cleanup()
+        return ids
+    inf = float(2 * n)
+    dist = sc.cut(
+        rows.select(F.col("s").alias("u"), "v",
+                    F.col("d").cast("double").alias("d"))
+        .union(g.vertices.select(F.col("id").alias("u"),
+                                 F.col("id").alias("v"),
+                                 F.lit(0.0).alias("d"))),
+        "gcdist")
+    cur = g.vertices.select(F.col("id").alias("v"), F.lit(inf).alias("cd"))
+    group: list[int] = []
+    for _ in range(min(k, n)):
+        gain = (
+            dist.join(cur, "v")
+            .groupBy("u")
+            .agg(F.sum(F.greatest(F.col("cd") - F.col("d"), F.lit(0.0)))
+                 .alias("gain"))
+        )
+        if group:
+            gain = gain.filter(~F.col("u").isin(group))
+        best = gain.orderBy(F.desc("gain"), F.asc("u")).limit(1).collect()
+        if not best:
+            break
+        pick = int(best[0]["u"])
+        group.append(pick)
+        newd = dist.filter(F.col("u") == pick).select("v", F.col("d").alias("nd"))
+        cur = sc.cut(
+            cur.join(newd, "v", "left")
+            .select("v", F.least("cd", F.coalesce("nd", F.lit(inf)))
+                    .alias("cd")),
+            f"gc{len(group)}")
+    sc.cleanup()
+    return group

@@ -100,3 +100,28 @@ def assortativity(g: Graph) -> float:
     joined = joined.join(deg2, joined.dst == deg2.id2).drop("id2")
     row = joined.agg(F.corr("deg_src", "deg_dst").alias("r")).collect()[0]
     return float(row["r"]) if row["r"] is not None else float("nan")
+
+
+def centralization(scores: DataFrame, max_score: float,
+                   score_col: str = "score") -> float:
+    """Freeman centralization of a score vector
+    (/root/reference/networkit/cpp/centrality/Centrality.cpp:62-80):
+    Σ_v (center − c(v)) / Σ_v (max_theoretical − c(v)) where center is
+    the observed maximum and ``max_score`` the theoretical one (n−1 for
+    degree — DegreeCentrality.cpp maximum()). One aggregation."""
+    row = scores.agg(
+        F.max(score_col).alias("center"),
+        F.sum(score_col).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    center, total, n = float(row["center"] or 0.0), float(row["total"] or 0.0), int(row["n"])
+    denom = max_score * n - total
+    if denom == 0.0:
+        return 0.0
+    return (center * n - total) / denom
+
+
+def degree_centralization(g: Graph) -> float:
+    """Freeman degree centralization (max for a star: 1.0)."""
+    n = g.num_vertices()
+    return centralization(degree_centrality(g), float(max(n - 1, 1)))

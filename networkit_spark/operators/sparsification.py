@@ -255,3 +255,95 @@ def simmelian_overlap_scores(g: Graph, max_rank: int = 10) -> DataFrame:
     )
     return e.join(overlap, ["lo", "hi"], "left").select(
         "lo", "hi", F.coalesce("ov", F.lit(0)).cast("double").alias("score"))
+
+
+def forest_fire_scores(g: Graph, pf: float = 0.6,
+                       target_burnt_ratio: float = 1.0,
+                       batch_fires: int = 64, seed: int = 42,
+                       max_batches: int = 32) -> DataFrame:
+    """(lo, hi, score): ForestFireScore
+    (/root/reference/networkit/cpp/sparsification/ForestFireScore.cpp:
+    16-80): repeatedly start fires at random nodes, spread each fire to
+    unvisited neighbors with burn probability ``pf``, count burns per
+    edge until ≥ ``target_burnt_ratio``·m total edge-burns, then
+    normalize by the max burn count.
+
+    Distributed variant (documented difference): the reference burns a
+    Geometric(pf) number of random unvisited neighbors per active node;
+    here each candidate edge burns INDEPENDENTLY with probability pf
+    via a deterministic counter-based hash (same expected spread
+    behavior, executor-friendly — no sequential per-node draw).
+    ``batch_fires`` fires run SIMULTANEOUSLY as one hash-keyed BFS
+    (state (fire, node)); batches repeat until the burnt-ratio target.
+    Edges never burnt score 0."""
+    from networkit_spark.plans.scratch import Scratch
+
+    spark = g.edges.sparkSession
+    sc = Scratch(spark, "ff")
+    count_rows = F.count(F.lit(1)).alias("rows")
+    e = _distinct_edges(g)
+    e = sc.cut(e, "edges")
+    m = e.count()
+    sym = sc.cut(e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+                 .union(e.select(F.col("hi").alias("src"),
+                                 F.col("lo").alias("dst"))), "sym")
+
+    burnt = None
+    total_burnt = 0
+    for batch in range(max_batches):
+        if total_burnt >= target_burnt_ratio * m:
+            break
+        starts = (
+            g.vertices.select("id")
+            .orderBy(F.xxhash64("id", F.lit(seed), F.lit(batch)))
+            .limit(batch_fires)
+            .select(F.xxhash64("id", F.lit(batch)).alias("fire"),
+                    F.col("id"))
+        )
+        frontier = sc.cut(starts, f"b{batch}f0")
+        visited = frontier
+        rnd = 0
+        while True:
+            rnd += 1
+            u01 = (F.pmod(F.xxhash64("fire", "src", "dst", F.lit(seed + 1),
+                                     F.lit(rnd)),
+                          F.lit(1 << 40)).cast("double") + 0.5) \
+                / F.lit(float(1 << 40))
+            burns, bm = sc.cut_observed(
+                frontier.withColumnRenamed("id", "src")
+                .join(sym, "src")
+                .join(visited.withColumnRenamed("id", "dst"),
+                      ["fire", "dst"], "left_anti")
+                .filter(u01 < F.lit(pf))
+                .select("fire", "src", "dst").distinct(),
+                [count_rows], name=f"b{batch}burn{rnd}")
+            nb = int(bm["rows"] or 0)
+            if nb == 0:
+                break
+            total_burnt += nb
+            edge_rows = burns.select(F.least("src", "dst").alias("lo"),
+                                     F.greatest("src", "dst").alias("hi"))
+            burnt = edge_rows if burnt is None else burnt.union(edge_rows)
+            frontier = sc.cut(
+                burns.select("fire", F.col("dst").alias("id")).distinct(),
+                f"b{batch}f{rnd}")
+            visited = sc.cut(visited.union(frontier))
+        if burnt is not None:
+            burnt = sc.cut(burnt, f"b{batch}acc")
+
+    if burnt is None:
+        out = e.select("lo", "hi", F.lit(0.0).alias("score")).persist()
+    else:
+        counts = burnt.groupBy("lo", "hi").agg(
+            F.count(F.lit(1)).alias("burns"))
+        mx = counts.agg(F.max("burns")).collect()[0][0] or 1
+        out = (
+            e.join(counts, ["lo", "hi"], "left")
+            .select("lo", "hi",
+                    (F.coalesce("burns", F.lit(0)).cast("double")
+                     / F.lit(float(mx))).alias("score"))
+            .persist()
+        )
+    out.count()
+    sc.cleanup()
+    return out

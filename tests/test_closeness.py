@@ -109,3 +109,53 @@ def test_group_degree_greedy(spark, karate):
         want.append(best)
         covered |= adj[best]
     assert group_degree(g, 3) == want
+
+
+def test_group_closeness_greedy_oracle(spark, karate):
+    # greedy oracle over the exact BFS distance matrix, same tie-breaks
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.closeness import group_closeness
+
+    edges, n = karate
+    g = Graph.from_rows(spark, [(u, v, 1.0) for u, v in edges],
+                        directed=False)
+    INF = 2.0 * n
+    adj = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    D = [[INF] * n for _ in range(n)]
+    for s in range(n):
+        D[s][s] = 0
+        q = [s]
+        while q:
+            nq = []
+            for x in q:
+                for y in adj[x]:
+                    if D[s][y] >= INF:
+                        D[s][y] = D[s][x] + 1
+                        nq.append(y)
+            q = nq
+    cur = [INF] * n
+    want = []
+    for _ in range(3):
+        gains = []
+        for u in range(n):
+            if u in want:
+                continue
+            gains.append((sum(max(0.0, cur[v] - D[u][v]) for v in range(n)), -u))
+        gains.sort(reverse=True)
+        pick = -gains[0][1]
+        want.append(pick)
+        cur = [min(cur[v], D[pick][v]) for v in range(n)]
+    assert group_closeness(g, 3) == want
+
+
+def test_group_closeness_star_center_first(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.closeness import group_closeness
+
+    star = Graph.from_rows(spark, [(0, i, 1.0) for i in range(1, 6)],
+                           directed=False)
+    out = group_closeness(star, 2)
+    assert out[0] == 0 and len(out) == 2

@@ -51,3 +51,30 @@ def test_component_sizes_and_largest(spark):
     assert sizes == {0: 7, 3: 5, 10: 5, 13: 2, 15: 1}
     sub = extract_largest_component(g, labels)
     assert sub.num_edges() == 6  # the 7-node path component
+
+
+def test_degree_centrality_and_centralization(spark):
+    # star K1,4: center degree 4, leaves 1 -> centralization 1.0
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.degrees import (
+        centralization, degree_centrality, degree_centralization,
+    )
+
+    star = Graph.from_rows(spark, [(0, i, 1.0) for i in range(1, 5)],
+                           directed=False)
+    dc = {r["id"]: r["score"] for r in degree_centrality(star).collect()}
+    assert dc == {0: 4.0, 1: 1.0, 2: 1.0, 3: 1.0, 4: 1.0}
+    dcn = {r["id"]: r["score"]
+           for r in degree_centrality(star, normalized=True).collect()}
+    assert dcn[0] == 1.0 and dcn[1] == 0.25
+    assert degree_centralization(star) == 1.0
+    # cycle: all degrees equal -> centralization 0
+    c5 = Graph.from_rows(spark, [(i, (i + 1) % 5, 1.0) for i in range(5)],
+                         directed=False)
+    assert degree_centralization(c5) == 0.0
+    # oracle check on an asymmetric graph: path P4 (degrees 1,2,2,1)
+    p4 = Graph.from_rows(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+                         directed=False)
+    # center=2, sum=6, n=4, max=3: (2*4-6)/(3*4-6) = 2/6
+    assert abs(centralization(
+        degree_centrality(p4), 3.0) - 2.0 / 6.0) < 1e-12

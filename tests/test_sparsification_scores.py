@@ -128,3 +128,25 @@ def test_simmelian_overlap(spark, karate):
     for (lo, hi) in tri:
         want = float(len(top[lo] & top[hi]))
         assert got[(lo, hi)] == pytest.approx(want), (lo, hi)
+
+
+def test_forest_fire_scores_shape_and_signal(spark, karate):
+    # ForestFireScore.cpp: scores in [0,1], max attained, deterministic
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.sparsification import forest_fire_scores
+
+    edges, n = karate
+    g = Graph.from_rows(spark, [(u, v, 1.0) for u, v in edges],
+                        directed=False)
+    out = forest_fire_scores(g, pf=0.6, target_burnt_ratio=1.0,
+                             batch_fires=16).persist()
+    rows = out.collect()
+    assert len(rows) == len(edges)
+    scores = [r["score"] for r in rows]
+    assert max(scores) == 1.0 and min(scores) >= 0.0
+    assert sum(1 for s in scores if s > 0) > len(edges) // 2
+    # determinism under the same seed
+    again = {(r["lo"], r["hi"]): r["score"]
+             for r in forest_fire_scores(g, pf=0.6, target_burnt_ratio=1.0,
+                                         batch_fires=16).collect()}
+    assert {(r["lo"], r["hi"]): r["score"] for r in rows} == again
