@@ -447,6 +447,19 @@ def q_ann_lsh_cells(spark, sf_dir):
     return S.assign_cells(emb, planes=4)
 
 
+def q_ann_ivf_lsh_top3(spark, sf_dir):
+    """The COMPOSED scale path: ivf_topk searching within the
+    hyperplane-LSH cells that assign_cells itself produced (round-2
+    residual: the ivf gate fed the ground-truth label as the cell)."""
+    emb = _emb_double(spark, sf_dir)
+    cells = S.assign_cells(emb, planes=4).withColumnRenamed("id", "vec_id")
+    embc = emb.join(cells, "vec_id")
+    queries = embc.filter("vec_id < 10")
+    out = S.ivf_topk(embc, queries, k=3, cell_col="cell")
+    return out.select("query_id", "neighbor_id",
+                      _r6(F.col("cos")).alias("cos"), "rnk")
+
+
 def q_embedding_centroids(spark, sf_dir):
     emb = _emb_double(spark, sf_dir)
     return (
@@ -697,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top5": q_ann_cosine_top5,
         "ann_ivf_top3": q_ann_ivf_top3,
         "ann_lsh_cells": q_ann_lsh_cells,
+        "ann_ivf_lsh_top3": q_ann_ivf_lsh_top3,
         "embedding_centroids": q_embedding_centroids,
         "events_hourly": q_events_hourly,
         "events_type_stats": q_events_type_stats,

@@ -25,6 +25,8 @@ against NumPy oracles (tests/oracles.py).
 
 from __future__ import annotations
 
+import hashlib
+
 SUPP_OFFSET = 10_000_000
 
 # ---------------------------------------------------------------------------
@@ -218,6 +220,23 @@ alls AS MATERIALIZED (
 ),
 dist AS MATERIALIZED (SELECT s, v, MIN(l) AS d FROM alls GROUP BY 1, 2)
 """
+
+
+def _lsh_w(plane: int, dim: int) -> float:
+    """The deterministic ±1 hyperplane weight of similarity._plane_sign:
+    md5(f"{plane}:{dim}") first-15-hex parity — computed HERE so the
+    DuckDB oracle carries the weights as literal constants."""
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15]
+    return 1.0 if int(h, 16) % 2 == 0 else -1.0
+
+
+def _lsh_cells_expr(planes: int = 4, dims: int = 64) -> str:
+    """SQL expression for similarity.assign_cells over v DOUBLE[]."""
+    cases = []
+    for p in range(planes):
+        dot = " + ".join(f"v[{d + 1}] * {_lsh_w(p, d)}" for d in range(dims))
+        cases.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(cases) + " AS INT)"
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -1175,9 +1194,27 @@ FROM (
 ) WHERE rnk <= 3
 """
 
-    o["ann_lsh_cells"] = """
+    o["ann_lsh_cells"] = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id AS id, CAST((CASE WHEN (v[1] * -1.0 + v[2] * -1.0 + v[3] * -1.0 + v[4] * -1.0 + v[5] * 1.0 + v[6] * -1.0 + v[7] * -1.0 + v[8] * 1.0 + v[9] * -1.0 + v[10] * -1.0 + v[11] * -1.0 + v[12] * -1.0 + v[13] * -1.0 + v[14] * -1.0 + v[15] * -1.0 + v[16] * 1.0 + v[17] * 1.0 + v[18] * 1.0 + v[19] * -1.0 + v[20] * -1.0 + v[21] * -1.0 + v[22] * 1.0 + v[23] * -1.0 + v[24] * 1.0 + v[25] * -1.0 + v[26] * 1.0 + v[27] * -1.0 + v[28] * -1.0 + v[29] * -1.0 + v[30] * -1.0 + v[31] * -1.0 + v[32] * 1.0 + v[33] * -1.0 + v[34] * 1.0 + v[35] * 1.0 + v[36] * 1.0 + v[37] * 1.0 + v[38] * -1.0 + v[39] * -1.0 + v[40] * 1.0 + v[41] * -1.0 + v[42] * -1.0 + v[43] * -1.0 + v[44] * 1.0 + v[45] * -1.0 + v[46] * -1.0 + v[47] * -1.0 + v[48] * 1.0 + v[49] * -1.0 + v[50] * 1.0 + v[51] * -1.0 + v[52] * 1.0 + v[53] * 1.0 + v[54] * -1.0 + v[55] * -1.0 + v[56] * -1.0 + v[57] * -1.0 + v[58] * 1.0 + v[59] * -1.0 + v[60] * -1.0 + v[61] * -1.0 + v[62] * -1.0 + v[63] * -1.0 + v[64] * 1.0) > 0 THEN 1 ELSE 0 END) + (CASE WHEN (v[1] * -1.0 + v[2] * -1.0 + v[3] * 1.0 + v[4] * 1.0 + v[5] * 1.0 + v[6] * 1.0 + v[7] * 1.0 + v[8] * -1.0 + v[9] * -1.0 + v[10] * -1.0 + v[11] * 1.0 + v[12] * 1.0 + v[13] * 1.0 + v[14] * -1.0 + v[15] * 1.0 + v[16] * -1.0 + v[17] * -1.0 + v[18] * 1.0 + v[19] * 1.0 + v[20] * -1.0 + v[21] * -1.0 + v[22] * 1.0 + v[23] * 1.0 + v[24] * 1.0 + v[25] * 1.0 + v[26] * -1.0 + v[27] * -1.0 + v[28] * 1.0 + v[29] * -1.0 + v[30] * 1.0 + v[31] * 1.0 + v[32] * -1.0 + v[33] * -1.0 + v[34] * -1.0 + v[35] * 1.0 + v[36] * 1.0 + v[37] * 1.0 + v[38] * 1.0 + v[39] * 1.0 + v[40] * 1.0 + v[41] * -1.0 + v[42] * -1.0 + v[43] * -1.0 + v[44] * -1.0 + v[45] * -1.0 + v[46] * 1.0 + v[47] * 1.0 + v[48] * 1.0 + v[49] * -1.0 + v[50] * 1.0 + v[51] * 1.0 + v[52] * -1.0 + v[53] * -1.0 + v[54] * -1.0 + v[55] * -1.0 + v[56] * 1.0 + v[57] * 1.0 + v[58] * -1.0 + v[59] * 1.0 + v[60] * 1.0 + v[61] * -1.0 + v[62] * 1.0 + v[63] * -1.0 + v[64] * -1.0) > 0 THEN 2 ELSE 0 END) + (CASE WHEN (v[1] * -1.0 + v[2] * -1.0 + v[3] * 1.0 + v[4] * -1.0 + v[5] * 1.0 + v[6] * 1.0 + v[7] * -1.0 + v[8] * -1.0 + v[9] * 1.0 + v[10] * 1.0 + v[11] * 1.0 + v[12] * 1.0 + v[13] * -1.0 + v[14] * -1.0 + v[15] * 1.0 + v[16] * -1.0 + v[17] * -1.0 + v[18] * -1.0 + v[19] * -1.0 + v[20] * 1.0 + v[21] * 1.0 + v[22] * 1.0 + v[23] * 1.0 + v[24] * 1.0 + v[25] * 1.0 + v[26] * -1.0 + v[27] * 1.0 + v[28] * 1.0 + v[29] * -1.0 + v[30] * 1.0 + v[31] * 1.0 + v[32] * -1.0 + v[33] * 1.0 + v[34] * 1.0 + v[35] * -1.0 + v[36] * 1.0 + v[37] * -1.0 + v[38] * -1.0 + v[39] * 1.0 + v[40] * 1.0 + v[41] * 1.0 + v[42] * -1.0 + v[43] * 1.0 + v[44] * 1.0 + v[45] * -1.0 + v[46] * 1.0 + v[47] * -1.0 + v[48] * -1.0 + v[49] * 1.0 + v[50] * 1.0 + v[51] * 1.0 + v[52] * 1.0 + v[53] * 1.0 + v[54] * 1.0 + v[55] * -1.0 + v[56] * -1.0 + v[57] * 1.0 + v[58] * 1.0 + v[59] * 1.0 + v[60] * -1.0 + v[61] * 1.0 + v[62] * -1.0 + v[63] * 1.0 + v[64] * 1.0) > 0 THEN 4 ELSE 0 END) + (CASE WHEN (v[1] * 1.0 + v[2] * -1.0 + v[3] * -1.0 + v[4] * 1.0 + v[5] * 1.0 + v[6] * 1.0 + v[7] * 1.0 + v[8] * -1.0 + v[9] * -1.0 + v[10] * 1.0 + v[11] * 1.0 + v[12] * 1.0 + v[13] * 1.0 + v[14] * 1.0 + v[15] * -1.0 + v[16] * 1.0 + v[17] * 1.0 + v[18] * -1.0 + v[19] * -1.0 + v[20] * -1.0 + v[21] * -1.0 + v[22] * -1.0 + v[23] * 1.0 + v[24] * -1.0 + v[25] * 1.0 + v[26] * 1.0 + v[27] * -1.0 + v[28] * 1.0 + v[29] * 1.0 + v[30] * -1.0 + v[31] * -1.0 + v[32] * 1.0 + v[33] * -1.0 + v[34] * -1.0 + v[35] * 1.0 + v[36] * -1.0 + v[37] * 1.0 + v[38] * -1.0 + v[39] * -1.0 + v[40] * -1.0 + v[41] * 1.0 + v[42] * 1.0 + v[43] * -1.0 + v[44] * -1.0 + v[45] * 1.0 + v[46] * -1.0 + v[47] * 1.0 + v[48] * 1.0 + v[49] * 1.0 + v[50] * 1.0 + v[51] * -1.0 + v[52] * 1.0 + v[53] * -1.0 + v[54] * -1.0 + v[55] * -1.0 + v[56] * -1.0 + v[57] * -1.0 + v[58] * 1.0 + v[59] * -1.0 + v[60] * -1.0 + v[61] * -1.0 + v[62] * -1.0 + v[63] * 1.0 + v[64] * 1.0) > 0 THEN 8 ELSE 0 END) AS INT) AS cell FROM e
+SELECT vec_id AS id, {_lsh_cells_expr(4)} AS cell FROM e
+"""
+
+    o["ann_ivf_lsh_top3"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (SELECT vec_id, {_lsh_cells_expr(4)} AS cell FROM e),
+ec AS (SELECT e.vec_id, e.v, c.cell FROM e JOIN cells c ON c.vec_id = e.vec_id),
+q AS (SELECT * FROM ec WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS.format(a="q.v", b="c.v")} AS cos
+  FROM q JOIN ec c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, (ROUND(cos, 6) + 0.0) AS cos, rnk
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= 3
 """
 
     o["embedding_centroids"] = """

@@ -192,6 +192,7 @@ def hll_neighborhood_function(g: Graph, max_h: int, rsd: float = 0.05) -> DataFr
     unions neighbor sketches (hll_union_agg), so cost per hop is one
     shuffle of fixed-size sketches instead of reachability pairs."""
     edges = _out_edges(g).select("src", "dst").persist()
+    n = g.num_vertices()
     # per-node singleton sketch of itself
     prev = g.vertices.groupBy("id").agg(F.hll_sketch_agg("id").alias("sketch"))
     rows = []
@@ -209,7 +210,9 @@ def hll_neighborhood_function(g: Graph, max_h: int, rsd: float = 0.05) -> DataFr
         ).persist()
         est = cur.select(F.sum(F.hll_sketch_estimate("sketch")).alias("p")
                          ).collect()[0]["p"]
-        rows.append((h, float(est)))
+        # sketches seed with the node itself; the exact NF counts pairs
+        # at distance >= 1 only, so subtract the n self-pairs
+        rows.append((h, float(est) - n))
         prev.unpersist() if h > 1 else None
         prev = cur
     edges.unpersist()

@@ -198,3 +198,24 @@ def test_hop_plot_path(spark):
     assert got[1] == pytest.approx(6 / 12)
     assert got[2] == pytest.approx(10 / 12)
     assert got[3] == pytest.approx(1.0)
+
+
+def test_hll_neighborhood_function_close_to_exact(spark, karate):
+    # round-2 untested path: the HLL++-sketch ANF approximation must
+    # track the exact neighborhood function (n=34 stays in the sketch's
+    # sparse/exact regime, so tolerance is tight)
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.distances import (
+        hll_neighborhood_function, neighborhood_function,
+    )
+
+    edges, n = karate
+    g = Graph.from_rows(spark, [(u, v, 1.0) for u, v in edges],
+                        directed=False)
+    exact = {r["h"]: r["pairs"] for r in neighborhood_function(g, 5).collect()}
+    approx = {r["h"]: r["pairs_est"]
+              for r in hll_neighborhood_function(g, 5).collect()}
+    assert set(approx) == set(exact)
+    for h in exact:
+        rel = abs(approx[h] - exact[h]) / exact[h]
+        assert rel < 0.05, f"hop {h}: {approx[h]} vs {exact[h]}"
