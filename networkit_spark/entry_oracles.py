@@ -1387,9 +1387,10 @@ LEFT JOIN mx m ON m.label = s.label
 
     o["partition_sim_pp"] = f"""
 WITH {PP},
-{_lpa_unrolled(4)},
+sz AS (SELECT p_partkey AS id, CAST(FLOOR(p_size / 10) AS BIGINT) AS label
+       FROM part),
 br AS (SELECT p_partkey AS id, p_brand AS b FROM part),
-j AS (SELECT l.id, l.label AS a, br.b FROM lab4 l JOIN br ON br.id = l.id),
+j AS (SELECT l.id, l.label AS a, br.b FROM sz l JOIN br ON br.id = l.id),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM j),
 cells AS (SELECT a, b, COUNT(*) AS s FROM j GROUP BY a, b),
 ma AS (SELECT a, SUM(s) AS sa FROM cells GROUP BY a),
