@@ -391,3 +391,86 @@ def edge_switching(edges: DataFrame, rounds: int = 10,
     out.count()
     scratch.cleanup()
     return out
+
+
+def powerlaw_sequence(count, xmin: int, xmax: int, gamma: float,
+                      rng) -> np.ndarray:
+    """Discrete power-law sample P(x) ∝ x^(-gamma) on [xmin, xmax] via
+    inverse-CDF over the finite support (cf. reference
+    PowerlawDegreeSequence.cpp — same distribution, table-based draw)."""
+    xs = np.arange(xmin, xmax + 1, dtype=float)
+    w = xs ** (-gamma)
+    w /= w.sum()
+    return rng.choice(np.arange(xmin, xmax + 1), size=count, p=w)
+
+
+def lfr_graph(n: int, kmin: int = 4, kmax: int = 20, gamma: float = 2.0,
+              smin: int = 10, smax: int = 50, beta: float = 1.0,
+              mu: float = 0.1, seed: int = 42):
+    """LFR community-detection benchmark (cf. reference
+    LFRGenerator.cpp / LFRGenerator.h and the original Lancichinetti–
+    Fortunato–Radicchi construction): power-law degrees (exponent gamma),
+    power-law community sizes (exponent beta), mixing parameter mu — each
+    node spends ≈(1-mu) of its degree inside its community and ≈mu
+    outside. Intra- and inter-community edges are realized by seeded
+    stub matching (configuration model) with self-loop / duplicate /
+    misplaced-stub rejection, so realized degrees can undershoot the
+    drawn sequence slightly — fine for a benchmark fixture, documented
+    here. Driver-side fixture generator (like planted_partition_edges);
+    deterministic under ``seed``. Returns ([(u, v)], labels ndarray)."""
+    rng = np.random.default_rng(seed)
+    deg = powerlaw_sequence(n, kmin, kmax, gamma, rng)
+
+    # community sizes: draw until they cover n, trim the overshoot
+    sizes: list[int] = []
+    while sum(sizes) < n:
+        sizes.append(int(powerlaw_sequence(1, smin, smax, beta, rng)[0]))
+    over = sum(sizes) - n
+    sizes[-1] -= over
+    if sizes[-1] < smin and len(sizes) > 1:  # fold a runt into its neighbor
+        sizes[-2] += sizes[-1]
+        sizes.pop()
+    k = len(sizes)
+
+    # internal degrees; assign nodes first-fit-decreasing so that every
+    # node's internal degree fits inside its community (intd < size)
+    intd = np.minimum(np.rint((1.0 - mu) * deg).astype(int), deg)
+    order = np.argsort(-intd)
+    labels = np.full(n, -1, dtype=int)
+    cap = list(sizes)
+    comms = list(range(k))
+    for v in order:
+        rng.shuffle(comms)
+        placed = False
+        for c in comms:
+            if cap[c] > 0 and intd[v] < sizes[c]:
+                labels[v] = c
+                cap[c] -= 1
+                placed = True
+                break
+        if not placed:  # degree too high for any remaining community
+            intd[v] = 0
+            c = max(range(k), key=lambda i: cap[i])
+            labels[v] = c
+            cap[c] -= 1
+
+    edges: set[tuple[int, int]] = set()
+
+    def _stub_match(stubs: np.ndarray, same_comm_ok: bool) -> None:
+        rng.shuffle(stubs)
+        if len(stubs) % 2:
+            stubs = stubs[:-1]
+        for u, v in stubs.reshape(-1, 2):
+            u, v = int(u), int(v)
+            if u == v:
+                continue
+            if not same_comm_ok and labels[u] == labels[v]:
+                continue
+            edges.add((min(u, v), max(u, v)))
+
+    for c in range(k):
+        members = np.flatnonzero(labels == c)
+        _stub_match(np.repeat(members, intd[members]), same_comm_ok=True)
+    extd = deg - intd
+    _stub_match(np.repeat(np.arange(n), extd), same_comm_ok=False)
+    return sorted(edges), labels
