@@ -585,6 +585,48 @@ def q_hyperbolicity_pps1(spark, sf_dir):
         _r6(F.col("delta")).alias("delta"))
 
 
+def q_bcc_pps1(spark, sf_dir):
+    """Per-vertex biconnected-component membership on pp(p_size=1):
+    n_blocks = #distinct BCC labels on incident edges, is_articulation =
+    n_blocks >= 2 (BiconnectedComponents.cpp block-cut-tree facts; the
+    oracle recomputes both from the defining property — components of
+    G-v restricted to v's neighbors)."""
+    from networkit_spark.operators.bcc import biconnected_components
+    g = TG.graph_pp_size1(spark, sf_dir)
+    bc = biconnected_components(g)
+    inc = bc.select(F.col("src").alias("id"), "component").union(
+        bc.select(F.col("dst").alias("id"), "component"))
+    per = inc.groupBy("id").agg(
+        F.countDistinct("component").alias("n_blocks"))
+    return g.vertices.join(per, "id", "left").select(
+        "id",
+        F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+        (F.coalesce("n_blocks", F.lit(0)) >= 2).cast("int")
+        .alias("is_articulation"))
+
+
+def q_group_closeness_pps1(spark, sf_dir):
+    """Greedy 3-set group closeness on pp(p_size=1) (GroupCloseness.cpp
+    greedy with exact distances; unreachable sentinel 2n; ties to the
+    smaller id). Integer output — no float parity concerns."""
+    from networkit_spark.operators.closeness import group_closeness
+    g = TG.graph_pp_size1(spark, sf_dir)
+    picks = group_closeness(g, k=3)
+    return spark.createDataFrame(
+        [(i + 1, int(p)) for i, p in enumerate(picks)],
+        "rank int, id long")
+
+
+def q_centralization_pps1(spark, sf_dir):
+    """Freeman degree centralization of pp(p_size=1)
+    (Centrality.cpp:62-80 with the DegreeCentrality maximum n-1)."""
+    from networkit_spark.operators.degrees import degree_centralization
+    g = TG.graph_pp_size1(spark, sf_dir)
+    c = degree_centralization(g)
+    return spark.createDataFrame([(float(c),)], "centralization double").select(
+        _r6(F.col("centralization")).alias("centralization"))
+
+
 # ---------------------------------------------------------------------------
 # partition quality / similarity measures
 # ---------------------------------------------------------------------------
@@ -727,6 +769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_pps1": q_ecc_pps1,
         "hyperbolicity_pps1": q_hyperbolicity_pps1,
         "approx_betweenness_pps1": q_approx_betweenness_pps1,
+        "bcc_pps1": q_bcc_pps1,
+        "group_closeness_pps1": q_group_closeness_pps1,
+        "centralization_pps1": q_centralization_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,

@@ -222,6 +222,39 @@ dist AS MATERIALIZED (SELECT s, v, MIN(l) AS d FROM alls GROUP BY 1, 2)
 """
 
 
+def _excl_cc_unrolled(L: int = 24) -> str:
+    """CTE chain for the BCC oracle: min-label connected components of
+    G - x for EVERY excluded vertex x of the pp(p_size=1) subgraph,
+    keyed by x (one unrolled propagation over (x, node) pairs — n^2
+    rows per level, trivial at this fixture size). L=24 because vertex
+    removal can stretch shortest label-propagation paths well beyond
+    the intact diameter of ~9. Produces CTEs: pv, pe, psym, xl0..xlL."""
+    levels = ["""
+xl0 AS MATERIALIZED (
+  SELECT x.id AS x, v.id AS node, v.id AS label
+  FROM pv x JOIN pv v ON v.id <> x.id
+)"""]
+    for l in range(1, L + 1):
+        levels.append(f"""
+xl{l} AS MATERIALIZED (
+  SELECT cur.x, cur.node,
+         LEAST(cur.label, COALESCE(MIN(nb.label), cur.label)) AS label
+  FROM xl{l-1} cur
+  LEFT JOIN psym e ON e.src = cur.node AND e.dst <> cur.x
+  LEFT JOIN xl{l-1} nb ON nb.x = cur.x AND nb.node = e.dst
+  GROUP BY cur.x, cur.node, cur.label
+)""")
+    return f"""
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+{",".join(levels)}
+"""
+
+
 def _lsh_w(plane: int, dim: int) -> float:
     """The deterministic ±1 hyperplane weight of similarity._plane_sign:
     md5(f"{plane}:{dim}") first-15-hex parity — computed HERE so the
@@ -1292,6 +1325,84 @@ SELECT (ROUND(COALESCE(MAX(
           - (s1 + s2 + s3 - GREATEST(s1, s2, s3) - LEAST(s1, s2, s3)))
          / 2.0), 0.0), 6) + 0.0) AS delta
 FROM quads
+"""
+
+
+    o["bcc_pps1"] = f"""
+WITH {PP},
+{_excl_cc_unrolled(24)},
+nbr AS (SELECT src AS x, dst AS nb FROM psym),
+blocks AS (
+  SELECT n.x, COUNT(DISTINCT l.label) AS n_blocks
+  FROM nbr n JOIN xl24 l ON l.x = n.x AND l.node = n.nb
+  GROUP BY n.x
+)
+SELECT p.id, CAST(COALESCE(b.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(CASE WHEN COALESCE(b.n_blocks, 0) >= 2 THEN 1 ELSE 0 END AS INT)
+       AS is_articulation
+FROM pv p LEFT JOIN blocks b ON b.x = p.id
+"""
+
+    o["group_closeness_pps1"] = f"""
+WITH {PP},
+{_dist_unrolled(12)},
+inf AS (SELECT 2.0 * COUNT(*) AS v FROM pv),
+dd AS MATERIALIZED (
+  SELECT a.id AS u, b.id AS v,
+         COALESCE(CAST(d.d AS DOUBLE), (SELECT v FROM inf)) AS d
+  FROM pv a CROSS JOIN pv b
+  LEFT JOIN dist d ON d.s = a.id AND d.v = b.id
+),
+g1 AS (SELECT u, SUM(d) AS s FROM dd GROUP BY u),
+p1 AS (SELECT u FROM g1 ORDER BY s ASC, u ASC LIMIT 1),
+c1 AS MATERIALIZED (
+  SELECT v, d AS cd FROM dd WHERE u = (SELECT u FROM p1)
+),
+g2 AS (
+  SELECT dd.u, SUM(GREATEST(c1.cd - dd.d, 0.0)) AS gain
+  FROM dd JOIN c1 ON c1.v = dd.v
+  WHERE dd.u <> (SELECT u FROM p1)
+  GROUP BY dd.u
+),
+p2 AS (SELECT u FROM g2 ORDER BY gain DESC, u ASC LIMIT 1),
+c2 AS MATERIALIZED (
+  SELECT c1.v, LEAST(c1.cd, dd.d) AS cd
+  FROM c1 JOIN dd ON dd.v = c1.v AND dd.u = (SELECT u FROM p2)
+),
+g3 AS (
+  SELECT dd.u, SUM(GREATEST(c2.cd - dd.d, 0.0)) AS gain
+  FROM dd JOIN c2 ON c2.v = dd.v
+  WHERE dd.u NOT IN (SELECT u FROM p1 UNION ALL SELECT u FROM p2)
+  GROUP BY dd.u
+),
+p3 AS (SELECT u FROM g3 ORDER BY gain DESC, u ASC LIMIT 1)
+SELECT CAST(1 AS INT) AS rank, u AS id FROM p1
+UNION ALL SELECT CAST(2 AS INT), u FROM p2
+UNION ALL SELECT CAST(3 AS INT), u FROM p3
+"""
+
+    o["centralization_pps1"] = f"""
+WITH {PP},
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+deg AS (
+  SELECT p.id, CAST(COALESCE(d.c, 0) AS DOUBLE) AS score
+  FROM pv p LEFT JOIN (
+    SELECT src AS id, COUNT(*) AS c FROM psym GROUP BY 1) d ON d.id = p.id
+),
+agg AS (
+  SELECT MAX(score) AS center, SUM(score) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM deg
+)
+SELECT (ROUND(CASE WHEN (n - 1.0) * n - total = 0 THEN 0.0
+              ELSE (center * n - total) / ((n - 1.0) * n - total) END, 6)
+        + 0.0) AS centralization
+FROM agg
 """
 
     # -- partition quality / similarity -----------------------------------
