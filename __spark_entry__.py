@@ -585,6 +585,14 @@ def q_hyperbolicity_pps1(spark, sf_dir):
         _r6(F.col("delta")).alias("delta"))
 
 
+def q_quadrangles_pps1(spark, sf_dir):
+    """Per-edge quadrangle counts on pp(p_size=1)
+    (ChibaNishizekiQuadrangleEdgeScore.cpp semantics)."""
+    from networkit_spark.operators.triangles import quadrangle_edge_scores
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return quadrangle_edge_scores(g)
+
+
 def q_bcc_pps1(spark, sf_dir):
     """Per-vertex biconnected-component membership on pp(p_size=1):
     n_blocks = #distinct BCC labels on incident edges, is_articulation =
@@ -769,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ecc_pps1": q_ecc_pps1,
         "hyperbolicity_pps1": q_hyperbolicity_pps1,
         "approx_betweenness_pps1": q_approx_betweenness_pps1,
+        "quadrangles_pps1": q_quadrangles_pps1,
         "bcc_pps1": q_bcc_pps1,
         "group_closeness_pps1": q_group_closeness_pps1,
         "centralization_pps1": q_centralization_pps1,

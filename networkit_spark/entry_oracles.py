@@ -1328,6 +1328,34 @@ FROM quads
 """
 
 
+    o["quadrangles_pps1"] = f"""
+WITH {PP},
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+cn AS (
+  SELECT w1.dst AS a, w2.dst AS b, COUNT(*) AS c
+  FROM psym w1 JOIN psym w2 ON w1.src = w2.src AND w1.dst < w2.dst
+  GROUP BY 1, 2
+),
+cns AS (SELECT a, b, c FROM cn UNION ALL SELECT b, a, c FROM cn),
+paths AS (
+  SELECT e.src AS u, e.dst AS v, n.dst AS w
+  FROM pe e JOIN psym n ON n.src = e.dst AND n.dst <> e.src
+),
+score AS (
+  SELECT p.u, p.v, SUM(c.c - 1) AS q
+  FROM paths p JOIN cns c ON c.a = p.u AND c.b = p.w
+  GROUP BY 1, 2
+)
+SELECT e.src AS lo, e.dst AS hi,
+       CAST(COALESCE(s.q, 0) AS BIGINT) AS quadrangles
+FROM pe e LEFT JOIN score s ON s.u = e.src AND s.v = e.dst
+"""
+
     o["bcc_pps1"] = f"""
 WITH {PP},
 {_excl_cc_unrolled(24)},

@@ -275,3 +275,53 @@ def approx_global_cc(g: Graph, trials: int = 1000, seed: int = 42) -> float:
     )
     cum.unpersist()
     return closed / float(trials)
+
+
+def quadrangle_edge_scores(g: Graph) -> DataFrame:
+    """(lo, hi, quadrangles) per undirected edge — the number of (not
+    necessarily induced) 4-cycles containing the edge (reference
+    ChibaNishizekiQuadrangleEdgeScore.cpp:15-97; fixture values from
+    ChibaNishizekiQuadrangleEdgeScoreGTest.cpp:16-76).
+
+    Distributed shape instead of the reference's degree-ordered serial
+    sweep: a quadrangle u-v-w-x-u through edge (u,v) pairs a neighbor
+    w of v with a common neighbor x of {u, w}, x != v. So
+    score(u,v) = Σ_{w ∈ N(v)\\{u}} (cn(u,w) - 1), where the -1 removes
+    x = v (v is always a common neighbor of u and w here). Two hash
+    joins + two aggregations, all JVM-side: (1) the wedge self-join
+    builds cn(a,b) for pairs with ≥1 common neighbor (Σ deg² wedge
+    rows — the same bound as the triangle join, AQE handles hub skew);
+    (2) each directed edge looks up its neighbors' cn rows. Each
+    quadrangle through {u,v} is counted exactly once per direction, so
+    the canonical (lo→hi) direction alone is the score."""
+    e = _distinct_edges(g)
+    sym = (e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+           .union(e.select(F.col("hi").alias("src"),
+                           F.col("lo").alias("dst"))))
+    w = sym.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    cn = (
+        w.join(w.select(F.col("c"), F.col("a").alias("b")), "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cn_sym = cn.union(cn.select(F.col("b").alias("a"),
+                                F.col("a").alias("b"), "cn"))
+    paths = (
+        e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        .join(sym.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+              "v")
+        .filter(F.col("w") != F.col("u"))
+        # v is a common neighbor of u and w, so cn(u,w) >= 1 and the
+        # inner join never drops a path
+        .join(cn_sym.select(F.col("a").alias("u"), F.col("b").alias("w"),
+                            "cn"), ["u", "w"])
+    )
+    scores = paths.groupBy("u", "v").agg(
+        F.sum(F.col("cn") - F.lit(1)).alias("quadrangles"))
+    return (
+        e.join(scores.select(F.col("u").alias("lo"), F.col("v").alias("hi"),
+                             "quadrangles"), ["lo", "hi"], "left")
+        .select("lo", "hi",
+                F.coalesce("quadrangles", F.lit(0)).cast("long")
+                .alias("quadrangles"))
+    )

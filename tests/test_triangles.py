@@ -55,3 +55,26 @@ def test_multi_edges_and_self_loops_ignored(spark):
     edges = K4_EDGES + [(0, 1), (1, 0), (2, 2)]
     g = Graph.from_rows(spark, edges, directed=False)
     assert global_triangle_count(g) == 4
+
+
+def test_quadrangle_scores_trivial(spark):
+    """ChibaNishizekiQuadrangleEdgeScoreGTest.cpp:16-36 (C4)."""
+    from networkit_spark.operators.triangles import quadrangle_edge_scores
+    g = Graph.from_rows(spark, [(0, 1), (0, 2), (1, 3), (2, 3)],
+                        directed=False)
+    got = {(r["lo"], r["hi"]): r["quadrangles"]
+           for r in quadrangle_edge_scores(g).collect()}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_quadrangle_scores_simple(spark):
+    """ChibaNishizekiQuadrangleEdgeScoreGTest.cpp:38-76 (7-node)."""
+    from networkit_spark.operators.triangles import quadrangle_edge_scores
+    edges = [(0, 1), (0, 3), (0, 4), (0, 6), (1, 2), (1, 3), (2, 3),
+             (3, 5), (3, 6), (4, 5)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    got = {(r["lo"], r["hi"]): r["quadrangles"]
+           for r in quadrangle_edge_scores(g).collect()}
+    assert got == {(0, 1): 2, (0, 3): 2, (0, 4): 1, (0, 6): 1,
+                   (1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 5): 1,
+                   (3, 6): 1, (4, 5): 1}
