@@ -76,19 +76,15 @@ def bfs(g: Graph, source: int, max_depth: int | None = None,
     return out
 
 
-def sssp(g: Graph, source: int, max_iter: int = 200,
-         runner: SuperstepRunner | None = None) -> DataFrame:
-    """(id, dist): weighted shortest-path distance (Bellman-Ford
-    relaxation supersteps; same fixpoint as the reference's Dijkstra)."""
-    spark = g.edges.sparkSession
-    edges = _out_edges(g).persist()
-    vertices = g.vertices
-
-    def init_fn() -> DataFrame:
-        return vertices.select(
-            "id",
-            F.when(F.col("id") == source, F.lit(0.0)).cast("double").alias("dist"),
-        ).withColumn("_improved", (F.col("id") == source).cast("int"))
+def relax_supersteps(edges: DataFrame, init_fn, spark,
+                     max_iter: int = 200,
+                     runner: SuperstepRunner | None = None,
+                     job_id: str = "sssp-anon") -> DataFrame:
+    """Bellman-Ford relaxation to fixpoint from an arbitrary initial
+    (id, dist, _improved) state — the shared substrate of ``sssp`` (cold
+    start from one source) and ``streaming.dyn.update_sssp`` (warm start
+    from a batch of edge insertions). ``edges``: (src, dst, weight),
+    already orientation-expanded."""
 
     def step_fn(state: DataFrame, k: int) -> DataFrame:
         cur = state.select("id", "dist", "_improved")
@@ -123,10 +119,29 @@ def sssp(g: Graph, source: int, max_iter: int = 200,
         return metrics.get("changed", 1) == 0
 
     if runner is None:
-        runner = SuperstepRunner(spark, job_id="sssp-anon", ephemeral=True)
+        runner = SuperstepRunner(spark, job_id=job_id, ephemeral=True)
     out = runner.run(init_fn, step_fn, stop_fn, max_iter=max_iter)
-    edges.unpersist()
     return out.select("id", "dist")
+
+
+def sssp(g: Graph, source: int, max_iter: int = 200,
+         runner: SuperstepRunner | None = None) -> DataFrame:
+    """(id, dist): weighted shortest-path distance (Bellman-Ford
+    relaxation supersteps; same fixpoint as the reference's Dijkstra)."""
+    spark = g.edges.sparkSession
+    edges = _out_edges(g).persist()
+    vertices = g.vertices
+
+    def init_fn() -> DataFrame:
+        return vertices.select(
+            "id",
+            F.when(F.col("id") == source, F.lit(0.0)).cast("double").alias("dist"),
+        ).withColumn("_improved", (F.col("id") == source).cast("int"))
+
+    out = relax_supersteps(edges, init_fn, spark, max_iter=max_iter,
+                           runner=runner)
+    edges.unpersist()
+    return out
 
 
 def k_hop_pairs(g: Graph, max_h: int) -> DataFrame:

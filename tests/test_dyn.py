@@ -54,3 +54,71 @@ def test_dyn_cc_new_vertex(spark):
     got = _canon(_labels(l2))
     assert got[0] == frozenset({0, 1})
     assert got[7] == frozenset({7, 8})
+
+
+def test_dyn_sssp_addition_shortens(spark):
+    from networkit_spark.operators.distances import sssp
+    from networkit_spark.streaming.dyn import update_sssp
+    # path 0-1-2-3-4-5 plus a dangling 6; insert shortcut 0-4
+    g = Graph.from_rows(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],
+        directed=False)
+    d0 = sssp(g, 0)
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 0, 4, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, d2 = update_sssp(g, d0, ev)
+    got = {r["id"]: r["dist"] for r in d2.collect()}
+    want = {r["id"]: r["dist"] for r in sssp(g2, 0).collect()}
+    assert got == want
+    assert got[4] == 1.0 and got[5] == 2.0 and got[6] == 3.0
+    assert got[1] == 1.0 and got[3] == 2.0  # 3 improves via the shortcut
+
+
+def test_dyn_sssp_weighted_decrease(spark):
+    from networkit_spark.operators.distances import sssp
+    from networkit_spark.streaming.dyn import update_sssp
+    g = Graph.from_rows(
+        spark, [(0, 1, 1.0), (1, 2, 5.0), (0, 2, 10.0)],
+        directed=False)
+    d0 = sssp(g, 0)
+    assert {r["id"]: r["dist"] for r in d0.collect()}[2] == 6.0
+    ev = spark.createDataFrame(
+        [("EDGE_WEIGHT_UPDATE", 0, 2, 2.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, d2 = update_sssp(g, d0, ev)
+    got = {r["id"]: r["dist"] for r in d2.collect()}
+    want = {r["id"]: r["dist"] for r in sssp(g2, 0).collect()}
+    assert got == want and got[2] == 2.0
+
+
+def test_dyn_sssp_no_improvement_noop(spark):
+    from networkit_spark.operators.distances import sssp
+    from networkit_spark.streaming.dyn import update_sssp
+    g = Graph.from_rows(spark, [(0, 1), (1, 2)], directed=False)
+    d0 = sssp(g, 0)
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 1, 2, 1.0, 1)],  # parallel to an existing edge
+        "type string, u long, v long, w double, t long")
+    _, d2 = update_sssp(g, d0, ev)
+    assert ({r["id"]: r["dist"] for r in d2.collect()}
+            == {r["id"]: r["dist"] for r in d0.collect()})
+
+
+def test_dyn_sssp_rejects_removals_and_weight_increases(spark):
+    import pytest
+    from networkit_spark.operators.distances import sssp
+    from networkit_spark.streaming.dyn import update_sssp
+    g = Graph.from_rows(spark, [(0, 1, 2.0), (1, 2, 2.0)],
+                        directed=False)
+    d0 = sssp(g, 0)
+    rem = spark.createDataFrame(
+        [("EDGE_REMOVAL", 0, 1, 0.0, 1)],
+        "type string, u long, v long, w double, t long")
+    with pytest.raises(ValueError, match="Graph update not allowed"):
+        update_sssp(g, d0, rem)
+    inc = spark.createDataFrame(
+        [("EDGE_WEIGHT_UPDATE", 0, 1, 9.0, 1)],
+        "type string, u long, v long, w double, t long")
+    with pytest.raises(ValueError, match="increases"):
+        update_sssp(g, d0, inc)
