@@ -37,11 +37,26 @@ from networkit_spark.operators.betweenness import _brandes
 from networkit_spark.plans.scratch import Scratch
 
 
+#: all-source exact BFS is inherently O(n·m); above this vertex count the
+#: sampled variants (approx_closeness / estimate_* / double-sweep) are the
+#: intended path — warn so n BFS sources can't start by accident at scale.
+ALL_SOURCE_WARN_N = 100_000
+
+
 def _dist_rows(g: Graph, sources: DataFrame | None = None):
     """(s, v, d) for all finite distances d ≥ 1, via BFS strata.
     Returns (rows_or_None, scratch) — caller cleans up the scratch."""
     if sources is None:
         sources = g.vertices.select(F.col("id").alias("s"))
+        n = g.vertices.count()
+        if n > ALL_SOURCE_WARN_N:
+            import warnings
+
+            warnings.warn(
+                f"all-source exact BFS over n={n} vertices is O(n·m); "
+                "use approx_closeness / estimate_betweenness / "
+                "diameter(estimate=True) at this scale",
+                ResourceWarning, stacklevel=3)
     sc = Scratch(g.edges.sparkSession, "close")
     levels, sym = _brandes(g, sources, sc)
     rows = None

@@ -435,3 +435,221 @@ def _read_gexf_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
 _READERS["gexf"] = _read_gexf_graph
 _WRITERS["gexf"] = write_gexf
 _EXT[".gexf"] = "gexf"
+
+
+# -- DGS (GraphStream dynamic-graph text format) ----------------------------
+
+DGS_TICK = 1 << 20  # events per clock tick; t = tick * DGS_TICK + seq
+
+
+def read_dgs(spark: SparkSession, path: str):
+    """DGS004 text event log → (events DataFrame in the
+    streaming.events EVENT_SCHEMA, name→id mapping dict).
+
+    Reference /root/reference/networkit/cpp/io/DGSReader.cpp:15-130:
+    magic 'DGS004', then one event per line — ``st`` (clock tick),
+    ``an <name> [attrs]`` (add node, names mapped to dense ids in
+    arrival order), ``ae <edge> <from> <to> [weight=<w>]`` (add edge;
+    the reference hardcodes weight 1.0 — we honor the attribute when
+    present, default 1.0), ``ce <from>-<to> weight=<w>`` (set edge
+    weight), ``dn <name>`` (remove node if isolated). Parsing is
+    driver-side like the other text interop fixtures (the replay over
+    the event stream is the distributed part —
+    streaming.events.apply_events).
+
+    Event times: DGS clock ticks are coarse — many events share one
+    tick, but apply_events needs a strict order per edge. So
+    t = tick * DGS_TICK + line-sequence-within-tick; recover the DGS
+    clock as t // DGS_TICK."""
+    from networkit_spark.streaming.events import EVENT_SCHEMA
+
+    names: dict[str, int] = {}
+    rows = []
+    tick = 0
+    seq = 0
+
+    def t():
+        return tick * DGS_TICK + seq
+    with open(path) as f:
+        magic = f.readline().strip()
+        if magic != "DGS004":
+            raise ValueError(
+                f"not a DGS file (expected magic 'DGS004', got {magic!r})")
+        f.readline()  # header: name, clock ticks, event count — ignored
+        for line in f:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            tag = parts[0]
+            if tag == "st":
+                tick += 1
+                seq = 0
+                continue
+            if tag == "an" and len(parts) >= 2:
+                names.setdefault(parts[1], len(names))
+                rows.append(("NODE_ADDITION", names[parts[1]], None, None,
+                             t()))
+            elif tag == "ae" and len(parts) >= 4:
+                u, v = names[parts[2]], names[parts[3]]
+                w = 1.0
+                if len(parts) >= 5 and parts[4].startswith("weight="):
+                    w = float(parts[4].split("=", 1)[1])
+                rows.append(("EDGE_ADDITION", u, v, w, t()))
+            elif tag == "ce" and len(parts) == 3:
+                a, b = parts[1].split("-", 1)
+                w = float(parts[2].split("=", 1)[1])
+                rows.append(("EDGE_WEIGHT_UPDATE", names[a], names[b], w,
+                             t()))
+            elif tag == "de" and len(parts) >= 2:
+                a, b = parts[1].split("-", 1)
+                rows.append(("EDGE_REMOVAL", names[a], names[b], None, t()))
+            elif tag == "dn" and len(parts) == 2:
+                rows.append(("NODE_REMOVAL", names[parts[1]], None, None,
+                             t()))
+            seq += 1
+    ev = spark.createDataFrame(rows, EVENT_SCHEMA)
+    return ev, names
+
+
+def write_dgs(events, path: str, name: str = "nks") -> None:
+    """Serialize an EVENT_SCHEMA DataFrame as a DGS004 text log (node
+    names = stringified ids; one ``st`` per distinct t gap)."""
+    rows = events.orderBy("t", "type", "u", "v").collect()
+    with open(path, "w") as f:
+        f.write("DGS004\n")
+        f.write(f"{name} 0 {len(rows)}\n")
+        tick = 0
+        seen: set[int] = set()
+        for r in rows:
+            while tick < (r["t"] or 0) // DGS_TICK:
+                tick += 1
+                f.write(f"st {tick}\n")
+            typ = r["type"]
+            if typ == "NODE_ADDITION":
+                f.write(f"an {r['u']}\n")
+                seen.add(r["u"])
+            elif typ == "NODE_REMOVAL":
+                f.write(f"dn {r['u']}\n")
+            elif typ == "EDGE_ADDITION":
+                for x in (r["u"], r["v"]):
+                    if x not in seen:
+                        f.write(f"an {x}\n")
+                        seen.add(x)
+                f.write(f"ae {r['u']}-{r['v']} {r['u']} {r['v']}"
+                        f" weight={r['w'] if r['w'] is not None else 1.0}\n")
+            elif typ == "EDGE_WEIGHT_UPDATE":
+                f.write(f"ce {r['u']}-{r['v']} weight={r['w']}\n")
+            elif typ == "EDGE_REMOVAL":
+                f.write(f"de {r['u']}-{r['v']}\n")
+
+
+def _read_dgs_graph(spark: SparkSession, path: str, **kwargs) -> Graph:
+    """Facade-compatible DGS reader: replay the event log to the FINAL
+    graph snapshot (weighted, undirected — DGSReader feeds an undirected
+    GraphEventProxy)."""
+    from networkit_spark.streaming.events import apply_events
+
+    ev, names = read_dgs(spark, path)
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    edges = apply_events(empty, ev)
+    removed = ev.filter(F.col("type") == "NODE_REMOVAL").select(
+        F.col("u").alias("id"))
+    verts = (ev.filter(F.col("type") == "NODE_ADDITION")
+             .select(F.col("u").alias("id")).distinct()
+             .join(removed, "id", "left_anti"))
+    return Graph(edges, directed=False, weighted=True, vertices=verts)
+
+
+_READERS["dgs"] = _read_dgs_graph
+_EXT[".dgs"] = "dgs"
+
+
+# -- graph-tool binary (gt) format ------------------------------------------
+
+_GT_MAGIC = bytes([0xE2, 0x9B, 0xBE, 0x20, 0x67, 0x74])  # "⛾ gt"
+
+
+def _gt_width(n: int) -> int:
+    if n < 1 << 8:
+        return 1
+    if n < 1 << 16:
+        return 2
+    if n < 1 << 32:
+        return 4
+    return 8
+
+
+def read_graph_tool_binary(spark: SparkSession, path: str) -> Graph:
+    """graph-tool .gt binary reader (reference
+    GraphToolBinaryReader.cpp:18-134): 6-byte magic + version 0x01 +
+    endianness byte, uint64-length comment, directed byte, uint64 n,
+    then per vertex a uint64 out-neighbor count followed by neighbor
+    ids in the narrowest width that fits n (1/2/4/8 bytes). Undirected
+    graphs store each edge once, at the larger endpoint (writer's
+    ``v <= u`` convention). Dense ids 0..n-1; property maps are not
+    read (the reference reader skips them too). Driver-side parse —
+    binary interop fixture, same tier as GML/GraphML."""
+    import struct
+
+    with open(path, "rb") as f:
+        header = f.read(8)
+        if header[:6] != _GT_MAGIC or header[6] != 0x01:
+            raise ValueError("broken gt header (magic/version)")
+        if header[7] not in (0x00, 0x01):
+            raise ValueError("broken gt header (endianness byte)")
+        bo = "<" if header[7] == 0x00 else ">"
+        (clen,) = struct.unpack(bo + "Q", f.read(8))
+        f.read(clen)  # comment — skipped like the reference
+        directed = f.read(1) != b"\x00"
+        (n,) = struct.unpack(bo + "Q", f.read(8))
+        width = _gt_width(n)
+        fmt = {1: "B", 2: "H", 4: "I", 8: "Q"}[width]
+        rows = []
+        for u in range(n):
+            (cnt,) = struct.unpack(bo + "Q", f.read(8))
+            if cnt:
+                nbrs = struct.unpack(bo + str(cnt) + fmt, f.read(cnt * width))
+                rows.extend((u, int(v), 1.0) for v in nbrs)
+    e = spark.createDataFrame(rows or [(0, 0, 0.0)][:0],
+                              "src long, dst long, weight double")
+    verts = spark.range(n).select(F.col("id"))
+    return Graph(e, directed=directed, vertices=verts)
+
+
+def write_graph_tool_binary(g: Graph, path: str,
+                            comment: str = "written by networkit_spark"
+                            ) -> None:
+    """graph-tool .gt binary writer (GraphToolBinaryWriter.cpp:20-110;
+    little-endian). Vertex ids are compacted to 0..n-1 in ascending id
+    order; undirected edges stored once at the larger endpoint."""
+    import struct
+
+    verts = sorted(r["id"] for r in g.vertices.collect())
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for r in g.edges.select("src", "dst").collect():
+        u, v = idx[r["src"]], idx[r["dst"]]
+        if g.directed:
+            adj[u].append(v)
+        else:
+            # store once, at the larger endpoint (v <= u convention)
+            a, b = max(u, v), min(u, v)
+            adj[a].append(b)
+    width = _gt_width(n)
+    fmt = {1: "B", 2: "H", 4: "I", 8: "Q"}[width]
+    cb = comment.encode()
+    with open(path, "wb") as f:
+        f.write(_GT_MAGIC + bytes([0x01, 0x00]))
+        f.write(struct.pack("<Q", len(cb)) + cb)
+        f.write(b"\x01" if g.directed else b"\x00")
+        f.write(struct.pack("<Q", n))
+        for u in range(n):
+            f.write(struct.pack("<Q", len(adj[u])))
+            for v in sorted(adj[u]):
+                f.write(struct.pack("<" + fmt, v))
+
+
+_READERS["gt"] = read_graph_tool_binary
+_WRITERS["gt"] = lambda g, path, **kw: write_graph_tool_binary(g, path, **kw)
+_EXT[".gt"] = "gt"

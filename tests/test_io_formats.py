@@ -193,3 +193,53 @@ def test_registry_roundtrip_every_format(spark, tmp_path):
                for r in g2.edges.collect()}
         assert got == want, f"format {fmt} via {ext} did not round-trip"
     assert {"gexf", "metis", "gml", "graphml", "dot", "edgelist"} <= seen
+
+
+def test_read_dgs_reference_example(spark):
+    """DGSReader.cpp replay parity on the reference's example.dgs: edge
+    aa-bb is weight-updated then removed and both nodes deleted; the
+    final snapshot is the cc/dd/ee triangle fragment."""
+    from networkit_spark.sources.io_formats import read_dgs, read_graph
+
+    ev, names = read_dgs(spark, "/root/reference/input/example.dgs")
+    assert names == {"aa": 0, "bb": 1, "cc": 2, "dd": 3, "ee": 4}
+    assert ev.count() == 12
+    g = read_graph(spark, "/root/reference/input/example.dgs")
+    assert sorted(r["id"] for r in g.vertices.collect()) == [2, 3, 4]
+    assert sorted((r["src"], r["dst"], r["weight"])
+                  for r in g.edges.collect()) == [(2, 3, 5.0), (4, 2, 2.0)]
+
+
+def test_dgs_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io_formats import read_dgs, write_dgs
+
+    ev, _ = read_dgs(spark, "/root/reference/input/example.dgs")
+    p = str(tmp_path / "rt.dgs")
+    write_dgs(ev, p)
+    ev2, _ = read_dgs(spark, p)
+    def canon(df):
+        return sorted((r["type"], r["u"], r["v"], r["w"], r["t"] // (1 << 20))
+                      for r in df.collect())
+    assert canon(ev) == canon(ev2)
+
+
+def test_graph_tool_binary_roundtrip(spark, tmp_path):
+    """GraphToolBinaryReader/Writer.cpp byte-format round-trip, both
+    orientations, through the format registry facade."""
+    from networkit_spark.sources.io_formats import read_graph, write_graph
+
+    for directed in (False, True):
+        g = Graph.from_rows(
+            spark, [(0, 1), (1, 2), (2, 3), (0, 3), (3, 4)],
+            directed=directed)
+        p = str(tmp_path / f"g{int(directed)}.gt")
+        write_graph(g, p)
+        g2 = read_graph(spark, p)
+        assert g2.directed == directed
+        assert sorted(r["id"] for r in g2.vertices.collect()) == [0, 1, 2, 3, 4]
+        def canon(gg):
+            if gg.directed:
+                return sorted((r["src"], r["dst"]) for r in gg.edges.collect())
+            return sorted((min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+                          for r in gg.edges.collect())
+        assert canon(g2) == canon(g)
