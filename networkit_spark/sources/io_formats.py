@@ -653,3 +653,39 @@ def write_graph_tool_binary(g: Graph, path: str,
 _READERS["gt"] = read_graph_tool_binary
 _WRITERS["gt"] = lambda g, path, **kw: write_graph_tool_binary(g, path, **kw)
 _EXT[".gt"] = "gt"
+
+
+# -- MATLAB .mat adjacency matrix -------------------------------------------
+
+def read_mat(spark: SparkSession, path: str, key: str = "G") -> Graph:
+    """MATLAB adjacency-matrix reader (reference
+    networkit/graphio.py:177-199 readMat): loads the sparse matrix under
+    ``key`` and emits one edge per stored nonzero (weight = value,
+    undirected). Requires scipy, which this sandbox does not ship — the
+    Spark-side construction below is exercised the moment scipy is
+    importable; without it the call fails with a clear ImportError."""
+    try:
+        import scipy.io
+        import scipy.sparse
+    except ImportError as exc:  # pragma: no cover - scipy absent here
+        raise ImportError(
+            "read_mat requires scipy (scipy.io.loadmat); install scipy "
+            "or convert the .mat adjacency to an edge list / parquet"
+        ) from exc
+    obj = scipy.io.loadmat(path)
+    if key not in obj:
+        raise KeyError(f"key {key!r} not found in the matlab object file")
+    a = scipy.sparse.coo_matrix(obj[key])
+    n, n2 = a.shape
+    if n != n2:
+        raise ValueError(f"this ({n}x{n2}) matrix is not square")
+    rows = [(int(u), int(v), float(w))
+            for u, v, w in zip(a.row, a.col, a.data) if u <= v]
+    e = spark.createDataFrame(rows or [(0, 0, 0.0)][:0],
+                              "src long, dst long, weight double")
+    return Graph(e, directed=False,
+                 vertices=spark.range(n).select(F.col("id")))
+
+
+_READERS["mat"] = read_mat
+_EXT[".mat"] = "mat"

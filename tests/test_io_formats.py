@@ -243,3 +243,29 @@ def test_graph_tool_binary_roundtrip(spark, tmp_path):
             return sorted((min(r["src"], r["dst"]), max(r["src"], r["dst"]))
                           for r in gg.edges.collect())
         assert canon(g2) == canon(g)
+
+
+def test_read_mat_requires_scipy_or_works(spark, tmp_path):
+    """read_mat: full parity when scipy exists; a clear ImportError
+    (not an AttributeError deep inside) when it doesn't."""
+    import pytest
+
+    from networkit_spark.sources.io_formats import read_mat
+    try:
+        import scipy.io  # noqa: F401
+        have_scipy = True
+    except ImportError:
+        have_scipy = False
+    if not have_scipy:
+        with pytest.raises(ImportError, match="scipy"):
+            read_mat(spark, str(tmp_path / "x.mat"))
+    else:  # pragma: no cover - scipy absent in this sandbox
+        import numpy as _np
+        import scipy.io as sio
+        import scipy.sparse as sp
+        m = sp.coo_matrix(_np.array([[0, 1, 0], [1, 0, 2], [0, 2, 0]]))
+        p = str(tmp_path / "g.mat")
+        sio.savemat(p, {"G": m})
+        g = read_mat(spark, p)
+        assert sorted((r["src"], r["dst"], r["weight"])
+                      for r in g.edges.collect()) == [(0, 1, 1.0), (1, 2, 2.0)]
