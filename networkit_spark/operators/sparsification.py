@@ -347,3 +347,52 @@ def forest_fire_scores(g: Graph, pf: float = 0.6,
     out.count()
     sc.cleanup()
     return out
+
+
+def geometric_mean_scores(scores: DataFrame, score_col: str = "score") -> DataFrame:
+    """GeometricMeanScore (reference cpp/edgescores/GeometricMeanScore.cpp:
+    23-41): normalize a per-edge attribute by the geometric mean of its
+    endpoints' incident-attribute sums — score'(u,v) = a(u,v) /
+    sqrt(nodeSum(u)*nodeSum(v)), 0 where a <= 0.
+
+    One groupBy over the exploded endpoints plus two broadcast-friendly
+    joins back; no iteration, survives any scale the input scores do."""
+    a = scores.select("lo", "hi", F.col(score_col).alias("_att"))
+    sums = (
+        a.select(F.col("lo").alias("id"), "_att")
+        .union(a.select(F.col("hi").alias("id"), "_att"))
+        .groupBy("id").agg(F.sum("_att").alias("_ns"))
+    )
+    return (
+        a.join(sums.select(F.col("id").alias("lo"), F.col("_ns").alias("_nlo")), "lo")
+        .join(sums.select(F.col("id").alias("hi"), F.col("_ns").alias("_nhi")), "hi")
+        .select("lo", "hi",
+                F.when(F.col("_att") > 0,
+                       F.col("_att") / F.sqrt(F.col("_nlo") * F.col("_nhi")))
+                .otherwise(F.lit(0.0)).alias("score"))
+    )
+
+
+def linearize_scores(scores: DataFrame, score_col: str = "score",
+                     inverse: bool = False, seed: int = 42) -> DataFrame:
+    """EdgeScoreLinearizer (reference cpp/edgescores/EdgeScoreLinearizer.cpp:
+    20-57): replace each score by its normalized sort position
+    pos/(m-1) (ascending; ``inverse`` sorts descending), i.e. linearize an
+    arbitrary score distribution into uniform [0,1]. The reference breaks
+    ties randomly; we use a seeded xxhash64 so the result is deterministic.
+    m == 1 maps to 0.5 like the reference special case.
+
+    The global sort is the semantics; Spark's range-partitioned sort keeps
+    it distributed (no driver collect)."""
+    from pyspark.sql import Window
+    m = scores.count()
+    if m == 1:
+        return scores.select("lo", "hi", F.lit(0.5).alias("score"))
+    tie = F.xxhash64("lo", "hi", F.lit(seed))
+    order = [F.col(score_col).desc(), tie.desc()] if inverse else \
+            [F.col(score_col).asc(), tie.asc()]
+    w = Window.orderBy(*order)
+    return scores.select(
+        "lo", "hi",
+        ((F.row_number().over(w) - F.lit(1)).cast("double")
+         / F.lit(float(m - 1))).alias("score"))

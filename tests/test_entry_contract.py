@@ -29,7 +29,15 @@ def duck():
     return con
 
 
-ORACLE_LESS: set[str] = set()
+# rows-only checks, each with the reason it cannot have a value oracle
+ORACLE_LESS: set[str] = {
+    # reproducing the RK estimator in SQL would need a full unrolled
+    # Brandes PLUS the per-level sigma-weighted hash race that picks one
+    # shortest path per sampled pair — far beyond a reviewable oracle;
+    # the estimator is error-bound-checked against exact betweenness in
+    # tests/test_betweenness.py instead
+    "approx_betweenness_pps1",
+}
 
 
 def test_queries_and_oracles_consistent():

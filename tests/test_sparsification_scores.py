@@ -150,3 +150,58 @@ def test_forest_fire_scores_shape_and_signal(spark, karate):
              for r in forest_fire_scores(g, pf=0.6, target_burnt_ratio=1.0,
                                          batch_fires=16).collect()}
     assert {(r["lo"], r["hi"]): r["score"] for r in rows} == again
+
+
+def test_geometric_mean_scores(spark, karate):
+    """GeometricMeanScore.cpp:23-41 oracle: a/sqrt(nodeSum_u*nodeSum_v)."""
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    from networkit_spark.operators.sparsification import (
+        geometric_mean_scores, jaccard_edge_scores)
+    jac = jaccard_edge_scores(g)
+    att = {(r["lo"], r["hi"]): r["score"] for r in jac.collect()}
+    nodesum = defaultdict(float)
+    for (lo, hi), a in att.items():
+        nodesum[lo] += a
+        nodesum[hi] += a
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in geometric_mean_scores(jac).collect()}
+    assert set(got) == set(att)
+    for (lo, hi), a in att.items():
+        want = a / math.sqrt(nodesum[lo] * nodesum[hi]) if a > 0 else 0.0
+        assert got[(lo, hi)] == pytest.approx(want)
+
+
+def test_linearize_scores(spark, karate):
+    """EdgeScoreLinearizer.cpp:20-57: uniform positions pos/(m-1);
+    monotone wrt the input score; inverse flips the order."""
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    from networkit_spark.operators.sparsification import (
+        jaccard_edge_scores, linearize_scores)
+    jac = jaccard_edge_scores(g)
+    m = jac.count()
+    lin = {(r["lo"], r["hi"]): r["score"]
+           for r in linearize_scores(jac).collect()}
+    # exactly the positions 0/(m-1) .. (m-1)/(m-1)
+    assert sorted(lin.values()) == pytest.approx(
+        [i / (m - 1) for i in range(m)])
+    att = {(r["lo"], r["hi"]): r["score"] for r in jac.collect()}
+    for e1 in list(att)[:20]:
+        for e2 in list(att)[:20]:
+            if att[e1] < att[e2]:
+                assert lin[e1] < lin[e2]
+    inv = {(r["lo"], r["hi"]): r["score"]
+           for r in linearize_scores(jac, inverse=True).collect()}
+    for e1 in list(att)[:20]:
+        for e2 in list(att)[:20]:
+            if att[e1] < att[e2]:
+                assert inv[e1] > inv[e2]
+
+
+def test_linearize_single_edge(spark):
+    g = Graph.from_rows(spark, [(0, 1)], directed=False)
+    from networkit_spark.operators.sparsification import (
+        jaccard_edge_scores, linearize_scores)
+    rows = linearize_scores(jaccard_edge_scores(g)).collect()
+    assert [r["score"] for r in rows] == [0.5]
