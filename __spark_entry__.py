@@ -625,6 +625,23 @@ def q_group_closeness_pps1(spark, sf_dir):
         "rank int, id long")
 
 
+def q_scd_sweep_pps1(spark, sf_dir):
+    """PageRankNibble substrate on pp(p_size=1): batched ACL
+    approximate personalized PageRank from the smallest non-isolated
+    vertex, then the full conductance sweep table (PageRankNibble.cpp
+    bestSweepSet semantics; tie_digits=6 makes the p/vol ordering
+    engine-stable)."""
+    from networkit_spark.operators.scd import (
+        approximate_pagerank, sweep_table,
+    )
+    g = TG.graph_pp_size1(spark, sf_dir)
+    seed = g.edges.agg(F.min("src")).collect()[0][0]
+    pr = approximate_pagerank(g, int(seed), alpha=0.15, epsilon=1e-3)
+    return sweep_table(g, pr, tie_digits=6).select(
+        "id", F.col("rank").cast("long").alias("rank"),
+        _r6(F.col("cond")).alias("cond"))
+
+
 def q_centralization_pps1(spark, sf_dir):
     """Freeman degree centralization of pp(p_size=1)
     (Centrality.cpp:62-80 with the DegreeCentrality maximum n-1)."""
@@ -781,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcc_pps1": q_bcc_pps1,
         "group_closeness_pps1": q_group_closeness_pps1,
         "centralization_pps1": q_centralization_pps1,
+        "scd_sweep_pps1": q_scd_sweep_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,

@@ -107,7 +107,7 @@ def approximate_pagerank(g: Graph, seed: int, alpha: float = 0.15,
             "_changed", (F.col("r") >= epsilon * F.col("vol")).cast("int"))
 
     def stop_fn(metrics: dict, k: int) -> bool:
-        return metrics.get("chg", 1) == 0
+        return metrics.get("changed", 1) == 0
 
     def finalize_fn(state: DataFrame) -> DataFrame:
         sym.unpersist()
@@ -117,7 +117,7 @@ def approximate_pagerank(g: Graph, seed: int, alpha: float = 0.15,
         runner = SuperstepRunner(spark, job_id="apr-anon", ephemeral=True)
     out = runner.run(init_fn, step_fn, stop_fn, max_iter=max_iter,
                      finalize_fn=finalize_fn)
-    if runner.history and runner.history[-1].get("chg", 0) != 0:
+    if runner.history and runner.history[-1].get("changed", 0) != 0:
         raise RuntimeError(
             f"approximate_pagerank did not satisfy r < eps*vol within "
             f"{max_iter} batched pushes; raise max_iter or epsilon")
