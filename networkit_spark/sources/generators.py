@@ -474,3 +474,131 @@ def lfr_graph(n: int, kmin: int = 4, kmax: int = 20, gamma: float = 2.0,
     extd = deg - intd
     _stub_match(np.repeat(np.arange(n), extd), same_comm_ok=False)
     return sorted(edges), labels
+
+
+def regular_ring_lattice_edges(spark: SparkSession, n: int,
+                               k: int) -> DataFrame:
+    """Regular ring lattice (cf. reference RegularRingLatticeGenerator.cpp;
+    == WattsStrogatz with p = 0): node i links its k/2 clockwise
+    neighbors. Fully distributed column expressions over spark.range."""
+    assert k % 2 == 0 and k < n
+    half = k // 2
+    base = spark.range(n * half).select(
+        (F.col("id") / half).cast("long").alias("i"),
+        (F.pmod(F.col("id"), F.lit(half)) + 1).alias("j"),
+    )
+    dst = F.pmod(F.col("i") + F.col("j"), F.lit(n))
+    return (
+        base.select(F.least(F.col("i"), dst).alias("src"),
+                    F.greatest(F.col("i"), dst).alias("dst"))
+        .filter("src != dst").distinct()
+    )
+
+
+def dorogovtsev_mendes_edges(n: int, seed: int = 42):
+    """Dorogovtsev–Mendes growth (reference
+    DorogovtsevMendesGenerator.cpp:21-40): start from a triangle; each
+    new node attaches to BOTH endpoints of a uniformly random existing
+    edge. Inherently sequential — driver-side fixture generator.
+    Returns [(u, v)]."""
+    assert n >= 3
+    rng = np.random.default_rng(seed)
+    edges = [(0, 1), (1, 2), (2, 0)]
+    for w in range(3, n):
+        u, v = edges[rng.integers(len(edges))]
+        edges.append((w, u))
+        edges.append((w, v))
+    return [(min(u, v), max(u, v)) for u, v in edges]
+
+
+def pub_web_points(spark: SparkSession, n: int, num_dense_areas: int = 10,
+                   dense_fraction: float = 0.7, area_radius: float = 0.1,
+                   seed: int = 42) -> DataFrame:
+    """(id, x, y): PubWeb node placement on the unit torus (cf. reference
+    PubWebGenerator.cpp): ``dense_fraction`` of the nodes cluster inside
+    ``num_dense_areas`` hash-uniform disc centers, the rest are
+    background-uniform. Counter-based hashes — deterministic, no driver
+    loop. (The reference draws cluster sizes from a random partition;
+    the fixed per-node area assignment here is the order-free
+    equivalent, documented deviation.)"""
+    import math as _m
+    ids = spark.range(n).select(F.col("id"))
+    area = F.pmod(F.xxhash64("id", F.lit(seed), F.lit(0)),
+                  F.lit(num_dense_areas))
+    is_dense = _u01(F.col("id"), F.lit(seed), F.lit(1)) < dense_fraction
+    cx = _u01(area, F.lit(seed), F.lit(2))
+    cy = _u01(area, F.lit(seed), F.lit(3))
+    # polar disc sample around the center
+    rr = F.sqrt(_u01(F.col("id"), F.lit(seed), F.lit(4))) * area_radius
+    th = _u01(F.col("id"), F.lit(seed), F.lit(5)) * (2.0 * _m.pi)
+    dx = rr * F.cos(th)
+    dy = rr * F.sin(th)
+    ux = _u01(F.col("id"), F.lit(seed), F.lit(6))
+    uy = _u01(F.col("id"), F.lit(seed), F.lit(7))
+    x = F.when(is_dense, F.pmod(cx + dx + 1.0, F.lit(1.0))).otherwise(ux)
+    y = F.when(is_dense, F.pmod(cy + dy + 1.0, F.lit(1.0))).otherwise(uy)
+    return ids.select("id", x.alias("x"), y.alias("y"))
+
+
+def pub_web_edges(spark: SparkSession, n: int, num_dense_areas: int = 10,
+                  neighborhood_radius: float = 0.05,
+                  max_neighbors: int = 16, seed: int = 42,
+                  base_weight: float = 0.01) -> DataFrame:
+    """(src, dst, weight): PubWeb random geometric graph on the unit
+    torus (reference PubWebGenerator.cpp:57-76 isValidEdge): connect
+    points within ``neighborhood_radius`` (torus metric), weight =
+    base_weight / distance, each node capped at ``max_neighbors``.
+
+    Distributed shape: grid-bucket the torus into radius-sized cells,
+    explode each point into its 3x3 neighbor cells, and join on the cell
+    key — candidate pairs are O(n · points-per-cell), never the n²
+    cross join. The reference's degree cap is insertion-order greedy
+    (nondeterministic under OpenMP); ours keeps each node's
+    ``max_neighbors`` NEAREST candidates and requires mutual
+    survival — order-free and deterministic, documented deviation."""
+    from pyspark.sql import Window
+    m = max(1, int(1.0 / neighborhood_radius))  # cells per axis
+    pts = pub_web_points(spark, n, num_dense_areas, seed=seed)
+    cell_x = F.floor(F.col("x") * m).cast("long")
+    cell_y = F.floor(F.col("y") * m).cast("long")
+    offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
+    probe = pts.select(
+        "id", "x", "y",
+        F.explode(F.array(*[
+            F.struct(F.pmod(cell_x + i, F.lit(m)).alias("cx"),
+                     F.pmod(cell_y + j, F.lit(m)).alias("cy"))
+            for i, j in offs])).alias("c")
+    ).select("id", "x", "y", "c.cx", "c.cy")
+    home = pts.select(F.col("id").alias("id2"), F.col("x").alias("x2"),
+                      F.col("y").alias("y2"), cell_x.alias("cx"),
+                      cell_y.alias("cy"))
+    dx = F.abs(F.col("x") - F.col("x2"))
+    dy = F.abs(F.col("y") - F.col("y2"))
+    tdx = F.least(dx, 1.0 - dx)
+    tdy = F.least(dy, 1.0 - dy)
+    d2 = tdx * tdx + tdy * tdy
+    r2 = neighborhood_radius * neighborhood_radius
+    cand = (
+        probe.join(home, ["cx", "cy"])
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("src"), F.col("id2").alias("dst"),
+                d2.alias("d2"))
+        .distinct()
+        .filter(F.col("d2") <= r2)
+    )
+    # mutual nearest-k degree cap (rank per endpoint, keep if both keep)
+    both = cand.select("src", "dst", "d2").union(
+        cand.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    "d2"))
+    w = Window.partitionBy("src").orderBy(F.col("d2").asc(),
+                                         F.col("dst").asc())
+    kept = (both.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= max_neighbors)
+            .select("src", "dst", "d2"))
+    mutual = kept.alias("a").join(
+        kept.alias("b"),
+        (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        "left_semi").filter(F.col("a.src") < F.col("a.dst"))
+    return mutual.select(
+        F.col("src"), F.col("dst"),
+        (base_weight / F.sqrt(F.col("d2"))).alias("weight"))

@@ -97,3 +97,68 @@ def test_algebraic_distance_separates_clusters(spark):
     inter = [s for (u, v), s in scores.items() if truth[u] != truth[v]]
     assert inter, "fixture should have cross-cluster edges"
     assert sum(intra) / len(intra) < sum(inter) / len(inter)
+
+
+def test_regular_ring_lattice(spark):
+    from networkit_spark.sources.generators import regular_ring_lattice_edges
+    e = {(r["src"], r["dst"])
+         for r in regular_ring_lattice_edges(spark, 12, 4).collect()}
+    want = set()
+    for i in range(12):
+        for j in (1, 2):
+            u, v = i, (i + j) % 12
+            want.add((min(u, v), max(u, v)))
+    assert e == want  # every node degree 4, ring distance <= 2
+
+
+def test_dorogovtsev_mendes(spark):
+    from collections import Counter
+
+    from networkit_spark.sources.generators import dorogovtsev_mendes_edges
+    n = 200
+    e = dorogovtsev_mendes_edges(n, seed=7)
+    assert len(e) == 3 + 2 * (n - 3)  # triangle + 2 per new node
+    assert e == dorogovtsev_mendes_edges(n, seed=7)  # deterministic
+    deg = Counter()
+    for u, v in e:
+        deg[u] += 1
+        deg[v] += 1
+    assert len(deg) == n and min(deg.values()) >= 2
+    # growth model: old nodes accumulate degree (power-law-ish head)
+    assert max(deg.values()) > 10
+
+
+def test_pub_web_edges(spark):
+    import math
+
+    from networkit_spark.sources.generators import (
+        pub_web_edges, pub_web_points,
+    )
+    n, rad, cap = 400, 0.08, 6
+    pts = {r["id"]: (r["x"], r["y"])
+           for r in pub_web_points(spark, n, seed=3).collect()}
+    assert len(pts) == n
+    assert all(0 <= x < 1 and 0 <= y < 1 for x, y in pts.values())
+    rows = pub_web_edges(spark, n, neighborhood_radius=rad,
+                         max_neighbors=cap, seed=3).collect()
+    assert rows
+
+    def torus_d(a, b):
+        dx = min(abs(a[0] - b[0]), 1 - abs(a[0] - b[0]))
+        dy = min(abs(a[1] - b[1]), 1 - abs(a[1] - b[1]))
+        return math.hypot(dx, dy)
+
+    from collections import Counter
+    deg = Counter()
+    for r in rows:
+        d = torus_d(pts[r["src"]], pts[r["dst"]])
+        assert d <= rad + 1e-9
+        assert r["weight"] == pytest.approx(0.01 / d, rel=1e-6)
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    assert max(deg.values()) <= cap
+    # deterministic
+    again = pub_web_edges(spark, n, neighborhood_radius=rad,
+                          max_neighbors=cap, seed=3).collect()
+    assert sorted((r["src"], r["dst"]) for r in rows) == \
+        sorted((r["src"], r["dst"]) for r in again)
