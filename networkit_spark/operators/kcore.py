@@ -35,10 +35,13 @@ Execution per superstep (all built-in, no Python in the loop):
      answer and similar wall at sf0.1, where 38 fixpoint rounds ×
      fixed per-job latency dominate; the histogram shuffles distinct
      values instead of every message, which is what matters at scale.
-     Chaining multiple h-applications per checkpoint was measured and
-     rejected: each application references its input twice, so the
-     un-materialized chain RECOMPUTES state 2^k times — inner=4 was
-     2.3× slower despite 3.5× fewer checkpoints.)
+     Chaining multiple h-applications per checkpoint WITHOUT pinning
+     was measured and rejected: each application references its input
+     twice, so the un-materialized chain RECOMPUTES state 2^k times —
+     inner=4 was 2.3× slower despite 3.5× fewer checkpoints. With each
+     intermediate persist()-ed the chain is linear; at sf0.1 the state
+     is small enough that checkpoint cost is noise and inner=1 vs 3
+     measure at parity — see core_decomposition's docstring.)
   3. new state: vertices left-join h, least(old, h), with `_changed`
      feeding the runner's convergence metric.
 Iteration count is bounded by the graph's degeneracy ordering depth —
@@ -54,8 +57,19 @@ from networkit_spark.plans.superstep import SuperstepRunner
 
 
 def core_decomposition(g: Graph, max_iter: int = 1000,
-                       runner: SuperstepRunner | None = None) -> DataFrame:
-    """(id, core): k-core number per vertex. Isolated vertices get 0."""
+                       runner: SuperstepRunner | None = None,
+                       inner: int = 1) -> DataFrame:
+    """(id, core): k-core number per vertex. Isolated nodes get 0.
+
+    ``inner`` = h-applications per durable superstep, each intermediate
+    pinned with persist() (the persist is what makes this safe — the
+    UN-persisted chain re-computes its doubly-referenced input 2^k
+    times, measured 2.3x slower). Warm-JVM A/B at sf0.1 measured
+    inner=1 and inner=3 at parity (~26s both): with a 20k-row state the
+    per-superstep parquet write is negligible, so fewer checkpoints buy
+    nothing here. The knob exists for the regime where it does pay —
+    GB-sized states whose durable write dominates the superstep — at
+    the cost of resume replaying up to inner-1 applications."""
     spark = g.edges.sparkSession
     e = g.edges.filter("src != dst").select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
@@ -72,13 +86,13 @@ def core_decomposition(g: Graph, max_iter: int = 1000,
     def init_fn() -> DataFrame:
         return vertices.select("id", F.col("deg").cast("long").alias("core"))
 
-    def step_fn(state: DataFrame, k: int) -> DataFrame:
-        # Full recompute every round. A dirty-fringe variant (recompute
-        # only neighbors of changed vertices) was measured SLOWER on
-        # dense co-occurrence graphs: the fringe of even a small changed
-        # set covers most of the graph via hubs, and change counts move
-        # in non-monotone waves — the two extra semi-joins cost more
-        # than the pruning saves. Keep the one-join-one-window round.
+    def h_apply(state: DataFrame) -> DataFrame:
+        # Full recompute every application. A dirty-fringe variant
+        # (recompute only neighbors of changed vertices) was measured
+        # SLOWER on dense co-occurrence graphs: the fringe of even a
+        # small changed set covers most of the graph via hubs, and
+        # change counts move in non-monotone waves — the two extra
+        # semi-joins cost more than the pruning saves.
         msgs = sym.join(
             state.select(F.col("id").alias("src"), F.col("core").alias("c")),
             "src").select("dst", "c")
@@ -98,10 +112,25 @@ def core_decomposition(g: Graph, max_iter: int = 1000,
                     (new_core != F.col("core")).cast("long").alias("_changed"))
         )
 
+    pinned: list[DataFrame] = []
+
+    def step_fn(state: DataFrame, k: int) -> DataFrame:
+        for mid in pinned:
+            mid.unpersist()  # intermediates of the PREVIOUS superstep
+        pinned.clear()
+        cur = state
+        for _ in range(max(1, inner) - 1):
+            cur = h_apply(cur).persist()
+            pinned.append(cur)
+        return h_apply(cur)
+
     def stop_fn(metrics: dict, k: int) -> bool:
         return metrics.get("changed", 1) == 0
 
     def finalize_fn(state: DataFrame) -> DataFrame:
+        for mid in pinned:
+            mid.unpersist()
+        pinned.clear()
         sym.unpersist()
         vertices.unpersist()
         return state.select("id", F.col("core").cast("long").alias("core"))

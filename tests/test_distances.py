@@ -121,6 +121,10 @@ def test_core_decomposition(spark, karate):
     g = Graph.from_rows(spark, edges, directed=False)
     got = {r["id"]: r["core"] for r in core_decomposition(g).collect()}
     assert got == _kcore_oracle(edges, n)
+    # pinned multi-apply path: identical fixpoint
+    got3 = {r["id"]: r["core"]
+            for r in core_decomposition(g, inner=3).collect()}
+    assert got3 == got
 
 
 def test_core_star_center(spark):
