@@ -642,6 +642,23 @@ def q_scd_sweep_pps1(spark, sf_dir):
         _r6(F.col("cond")).alias("cond"))
 
 
+def q_simple_paths_pps1(spark, sf_dir):
+    """All simple paths (<=8 edges) on pp(p_size=1) from the smallest
+    non-isolated vertex to the largest vertex exactly 3 hops away
+    (AllSimplePaths.h semantics); rows are dash-joined path strings so
+    both engines compare arrays identically."""
+    from networkit_spark.operators.distances import bfs
+    from networkit_spark.operators.paths import all_simple_paths
+    g = TG.graph_pp_size1(spark, sf_dir)
+    s = int(g.edges.agg(F.min("src")).collect()[0][0])
+    d3 = bfs(g, s).filter(F.col("dist") == 3)
+    t = int(d3.agg(F.max("id")).collect()[0][0])
+    paths = all_simple_paths(g, s, t, cutoff=8)
+    return paths.select(
+        F.concat_ws("-", F.transform("path", lambda x: x.cast("string")))
+        .alias("path"))
+
+
 def q_centralization_pps1(spark, sf_dir):
     """Freeman degree centralization of pp(p_size=1)
     (Centrality.cpp:62-80 with the DegreeCentrality maximum n-1)."""
@@ -799,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_closeness_pps1": q_group_closeness_pps1,
         "centralization_pps1": q_centralization_pps1,
         "scd_sweep_pps1": q_scd_sweep_pps1,
+        "simple_paths_pps1": q_simple_paths_pps1,
         "community_eval_pp_brand": q_community_eval_pp_brand,
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,

@@ -1505,6 +1505,27 @@ SELECT id, CAST(rank AS BIGINT) AS rank,
 FROM sweep
 """
 
+    o["simple_paths_pps1"] = f"""
+WITH RECURSIVE {PP},
+{_dist_unrolled(12)},
+seed AS (SELECT MIN(src) AS s FROM pe),
+tgt AS (
+  SELECT MAX(v) AS t FROM dist
+  WHERE s = (SELECT s FROM seed) AND d = 3
+),
+walk(last, path) AS (
+  SELECT s, [s] FROM seed
+  UNION ALL
+  SELECT e.dst, list_append(w.path, e.dst)
+  FROM walk w JOIN psym e ON e.src = w.last
+  WHERE NOT list_contains(w.path, e.dst)
+    AND len(w.path) <= 8
+    AND w.last <> (SELECT t FROM tgt)
+)
+SELECT array_to_string(path, '-') AS path
+FROM walk WHERE last = (SELECT t FROM tgt)
+"""
+
     # -- partition quality / similarity -----------------------------------
     o["community_eval_pp_brand"] = f"""
 WITH {PP},
