@@ -244,3 +244,12 @@ def hop_plot(g: Graph, max_h: int) -> DataFrame:
     total = nf.agg(F.max("pairs")).collect()[0][0] or 1
     return nf.select("h", (F.col("pairs") / F.lit(float(total)))
                      .alias("fraction"))
+
+
+def reverse_bfs(g: Graph, source: int, max_depth: int | None = None,
+                runner: SuperstepRunner | None = None) -> DataFrame:
+    """(id, dist): hop distance TO ``source`` along edge direction
+    (reference cpp/distance/ReverseBFS.cpp — BFS over in-edges). On an
+    undirected graph this equals bfs()."""
+    return bfs(g.transpose() if g.directed else g, source,
+               max_depth=max_depth, runner=runner)

@@ -77,3 +77,14 @@ def test_commute_time_triangle_symmetry(spark):
     g = Graph.from_rows(spark, [(0, 1), (1, 2), (0, 2)], directed=False)
     got = [r["ectd"] for r in commute_time_distances(g).collect()]
     assert got == pytest.approx([4.0, 4.0, 4.0])
+
+
+def test_reverse_bfs(spark):
+    from networkit_spark.operators.distances import bfs, reverse_bfs
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    g = Graph.from_rows(spark, edges, directed=True)
+    fwd = {r["id"]: r["dist"] for r in bfs(g, 0).collect()}
+    rev = {r["id"]: r["dist"] for r in reverse_bfs(g, 0).collect()}
+    # distance TO 0: 3->0 is 1 hop; 1->3->0 is 2; 2->3->0 is 2
+    assert rev[0] == 0 and rev[3] == 1 and rev[1] == 2 and rev[2] == 2
+    assert fwd[1] == 1  # and forward differs from reverse on a cycle
