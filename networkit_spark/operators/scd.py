@@ -136,7 +136,13 @@ def sweep_table(g: Graph, pr: DataFrame,
     ``tie_digits`` rounds the ordering key p/vol to that many decimals
     first — the cross-engine-stable ordering the DuckDB gate needs
     (float sums from different reduction orders can flip unrounded
-    near-ties)."""
+    near-ties).
+
+    The global-order windows here run over the APR SUPPORT only — the
+    push touches O(1/(eps·alpha)) volume independent of graph size
+    (Andersen–Chung–Lang locality), so the single-partition sort is
+    bounded by the eps parameter, not by n; this is the deliberate
+    exception to docs/PLANS.md rule 3."""
     sym = _sym_weighted(g)
     vol = _volumes(sym)
     total = sym.agg(F.sum("w")).collect()[0][0] or 0.0  # == 2*totalEdgeWeight

@@ -382,17 +382,23 @@ def linearize_scores(scores: DataFrame, score_col: str = "score",
     ties randomly; we use a seeded xxhash64 so the result is deterministic.
     m == 1 maps to 0.5 like the reference special case.
 
-    The global sort is the semantics; Spark's range-partitioned sort keeps
-    it distributed (no driver collect)."""
-    from pyspark.sql import Window
+    The global ordering is the semantics, but NOT via a global-order
+    window (that collapses to one partition — docs/PLANS.md rule 3):
+    positions come from the two-pass range-partitioned rank
+    (`ordered_dense_ids`), distributed at any m."""
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
     m = scores.count()
     if m == 1:
         return scores.select("lo", "hi", F.lit(0.5).alias("score"))
+    sgn = -1 if inverse else 1
     tie = F.xxhash64("lo", "hi", F.lit(seed))
-    order = [F.col(score_col).desc(), tie.desc()] if inverse else \
-            [F.col(score_col).asc(), tie.asc()]
-    w = Window.orderBy(*order)
-    return scores.select(
+    keyed = scores.select(
         "lo", "hi",
-        ((F.row_number().over(w) - F.lit(1)).cast("double")
-         / F.lit(float(m - 1))).alias("score"))
+        (F.lit(sgn) * F.col(score_col)).alias("_k1"),
+        (F.lit(sgn) * tie).alias("_k2"))
+    return (
+        ordered_dense_ids(keyed, ["_k1", "_k2"], "_pos")
+        .select("lo", "hi",
+                (F.col("_pos").cast("double")
+                 / F.lit(float(m - 1))).alias("score"))
+    )
