@@ -602,3 +602,115 @@ def pub_web_edges(spark: SparkSession, n: int, num_dense_areas: int = 10,
     return mutual.select(
         F.col("src"), F.col("dst"),
         (base_weight / F.sqrt(F.col("d2"))).alias("weight"))
+
+
+def _rhg_bands(n: int, R: float, series_ratio: float = 0.9) -> list:
+    """Band boundaries forming a geometric difference series (reference
+    HyperbolicGenerator.h:97-113 getBandRadii)."""
+    import math
+    out = [0.0]
+    logn = math.log(n)
+    a = R * (1 - series_ratio) / (1 - series_ratio ** logn)
+    i = 1
+    while i < logn:
+        out.append(a * (1 - series_ratio ** i) / (1 - series_ratio))
+        i += 1
+    out.append(R)
+    return out
+
+
+def hyperbolic_edges(spark: SparkSession, n: int, avg_degree: float = 6.0,
+                     gamma: float = 3.0, R: float | None = None,
+                     seed: int = 42) -> DataFrame:
+    """(src, dst): threshold random hyperbolic graph (T = 0) — the
+    reference's signature generator (HyperbolicGenerator.cpp:100-180,
+    von Looz et al.): n points in the hyperbolic disc of radius R,
+    radial density alpha·sinh(alpha·r)/(cosh(alpha·R)−1) with
+    alpha = (gamma−1)/2, an edge wherever hyperbolic distance ≤ R.
+    R defaults to the cold-regime closed form 2·ln(n/v)
+    (HyperbolicSpace.h:166-175; the reference then refines numerically —
+    documented deviation, degrees land within ~2x of the target).
+
+    Distributed shape mirroring the reference's radial bands: the band
+    list (O(log n), driver-side) + per-band-pair angular windows
+    W(bi,bj) = max Δθ at which two points at the bands' INNER radii can
+    still connect (the most permissive bound). Candidate pairs come
+    from an equi-join on (band_i, band_j, angle bucket of width W) with
+    the probe side exploded into ±1 buckets — per point O(bands)
+    explode, never the n² cross join; the exact cosh distance filter
+    runs on candidates only. Counter-based hashes: deterministic."""
+    import math
+
+    alpha = (gamma - 1.0) / 2.0
+    if R is None:
+        plexp = 2 * alpha + 1
+        xi_inv = (plexp - 2) / (plexp - 1)
+        v = avg_degree * (math.pi / 2) * xi_inv * xi_inv
+        R = 2 * math.log(n / v)
+    cosh_ar = math.cosh(alpha * R)
+    bands = _rhg_bands(n, R)
+    nb_bands = len(bands) - 1
+
+    # per-band-pair window from the inner radii (upper bound)
+    def window(r1: float, r2: float) -> float:
+        if r1 <= 1e-12 or r2 <= 1e-12:
+            return math.pi
+        c = ((math.cosh(r1) * math.cosh(r2) - math.cosh(R))
+             / (math.sinh(r1) * math.sinh(r2)))
+        if c <= -1.0:
+            return math.pi
+        if c >= 1.0:
+            return 0.0
+        return math.acos(c)
+
+    pair_rows = []
+    for i in range(nb_bands):
+        for j in range(i, nb_bands):
+            w = window(bands[i], bands[j])
+            if w <= 0.0:
+                continue
+            w = min(max(w, 1e-6), math.pi)
+            nbuck = max(1, int(2 * math.pi / w))
+            pair_rows.append((i, j, 2 * math.pi / nbuck, nbuck))
+    pairs = F.broadcast(spark.createDataFrame(
+        pair_rows, "bi int, bj int, w double, nbuck int"))
+
+    u_r = _u01(F.col("id"), F.lit(seed), F.lit(0))
+    u_t = _u01(F.col("id"), F.lit(seed), F.lit(1))
+    r_expr = F.acosh(1.0 + u_r * (cosh_ar - 1.0)) / alpha
+    pts = spark.range(n).select(
+        "id", r_expr.alias("r"),
+        (u_t * (2 * math.pi)).alias("theta"))
+    band_expr = F.lit(nb_bands - 1)
+    for b in range(nb_bands - 1, 0, -1):
+        band_expr = F.when(F.col("r") < bands[b], b - 1).otherwise(band_expr)
+    pts = pts.withColumn("band", band_expr.cast("int")).persist()
+
+    probe = (
+        pts.join(pairs, pts["band"] == pairs["bi"])
+        .select("id", "r", "theta", "bi", "bj", "w", "nbuck",
+                F.explode(F.sequence(
+                    F.floor((F.col("theta") - F.col("w")) / F.col("w")),
+                    F.floor((F.col("theta") + F.col("w")) / F.col("w"))))
+                .alias("rawb"))
+        .select("id", "r", "theta", "bi", "bj",
+                F.pmod(F.col("rawb"), F.col("nbuck")).alias("bucket"))
+    )
+    build = (
+        pts.join(pairs, pts["band"] == pairs["bj"])
+        .select(F.col("id").alias("id2"), F.col("r").alias("r2"),
+                F.col("theta").alias("theta2"), "bi", "bj",
+                F.floor(F.col("theta") / F.col("w")).alias("bucket"))
+    )
+    cosh_r = math.cosh(R)
+    cand = (
+        probe.join(build, ["bi", "bj", "bucket"])
+        .filter((F.col("bi") != F.col("bj")) | (F.col("id") < F.col("id2")))
+        .filter(F.col("id") != F.col("id2"))
+        .filter(F.cosh("r") * F.cosh("r2")
+                - F.sinh("r") * F.sinh("r2")
+                * F.cos(F.col("theta") - F.col("theta2")) <= cosh_r)
+    )
+    out = cand.select(F.least("id", "id2").alias("src"),
+                      F.greatest("id", "id2").alias("dst")).distinct()
+    return out

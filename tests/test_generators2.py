@@ -162,3 +162,45 @@ def test_pub_web_edges(spark):
                           max_neighbors=cap, seed=3).collect()
     assert sorted((r["src"], r["dst"]) for r in rows) == \
         sorted((r["src"], r["dst"]) for r in again)
+
+
+def test_hyperbolic_edges_exact_vs_bruteforce(spark):
+    """Band/bucket candidate join must reproduce the brute-force
+    threshold RHG edge set exactly (windows are upper bounds, the exact
+    cosh filter decides)."""
+    import math
+
+    from networkit_spark.sources.generators import (
+        _rhg_bands, _u01, hyperbolic_edges,
+    )
+    n, gamma, k = 300, 2.8, 6.0
+    alpha = (gamma - 1) / 2
+    plexp = 2 * alpha + 1
+    xi_inv = (plexp - 2) / (plexp - 1)
+    R = 2 * math.log(n / (k * (math.pi / 2) * xi_inv * xi_inv))
+    # recompute the SAME deterministic coordinates the generator uses
+    import pyspark.sql.functions as F
+    cosh_ar = math.cosh(alpha * R)
+    pts = spark.range(n).select(
+        "id",
+        (F.acosh(1.0 + _u01(F.col("id"), F.lit(42), F.lit(0))
+                 * (cosh_ar - 1.0)) / alpha).alias("r"),
+        (_u01(F.col("id"), F.lit(42), F.lit(1)) * (2 * math.pi))
+        .alias("theta")).collect()
+    coords = {p["id"]: (p["r"], p["theta"]) for p in pts}
+    want = set()
+    cr = math.cosh(R)
+    for i in range(n):
+        r1, t1 = coords[i]
+        for j in range(i + 1, n):
+            r2, t2 = coords[j]
+            d = (math.cosh(r1) * math.cosh(r2)
+                 - math.sinh(r1) * math.sinh(r2) * math.cos(t1 - t2))
+            if d <= cr:
+                want.add((i, j))
+    got = {(r["src"], r["dst"])
+           for r in hyperbolic_edges(spark, n, k, gamma).collect()}
+    assert got == want
+    assert len(got) > n  # dense enough to be a real check
+    bands = _rhg_bands(n, R)
+    assert bands[0] == 0.0 and bands[-1] == R and len(bands) >= 4
