@@ -714,3 +714,21 @@ def hyperbolic_edges(spark: SparkSession, n: int, avg_degree: float = 6.0,
     out = cand.select(F.least("id", "id2").alias("src"),
                       F.greatest("id", "id2").alias("dst")).distinct()
     return out
+
+
+def dynamic_dorogovtsev_mendes_events(n: int, seed: int = 42):
+    """GraphEvent rows [(type, u, v, w, t)] replaying Dorogovtsev–Mendes
+    growth (reference cpp/generators/DynamicDorogovtsevMendesGenerator.
+    cpp): the initial triangle then, per new node, two EDGE_ADDITIONs to
+    the endpoints of a uniformly random existing edge. Replaying through
+    ``streaming.events.apply_events`` reconstructs exactly
+    ``dorogovtsev_mendes_edges(n, seed)``."""
+    edges = dorogovtsev_mendes_edges(n, seed)
+    return [("EDGE_ADDITION", u, v, 1.0, t)
+            for t, (u, v) in enumerate(edges)]
+
+
+def dynamic_path_events(n: int):
+    """GraphEvent rows growing a path 0-1-...-n-1 one edge per tick
+    (reference cpp/generators/DynamicPathGenerator.cpp)."""
+    return [("EDGE_ADDITION", i, i + 1, 1.0, i) for i in range(n - 1)]
