@@ -669,6 +669,50 @@ def q_centralization_pps1(spark, sf_dir):
         _r6(F.col("centralization")).alias("centralization"))
 
 
+def q_msf_pps1w(spark, sf_dir):
+    """THE maximum spanning forest of the weighted pp(p_size=1) graph
+    under the strict key (weight, a, b) — distributed Borůvka (msf.py).
+    Oracle: cycle property — an edge is in the unique max forest iff no
+    path between its endpoints uses only strictly key-greater edges
+    (recursive-CTE reachability per edge)."""
+    from networkit_spark.operators.msf import maximum_spanning_forest
+    g = TG.graph_pps1_weighted(spark, sf_dir)
+    f = maximum_spanning_forest(g)
+    return f.select("a", "b", _r6(F.col("weight")).alias("weight"))
+
+
+def q_umsf_pps1w(spark, sf_dir):
+    """Union of ALL maximum spanning forests of the weighted
+    pp(p_size=1) graph (UnionMaximumSpanningForest.cpp:42-79: member
+    iff endpoints disconnected in the strictly-heavier subgraph).
+    Oracle: per-weight-threshold recursive-CTE reachability."""
+    from networkit_spark.operators.msf import union_maximum_spanning_forest
+    g = TG.graph_pps1_weighted(spark, sf_dir)
+    f = union_maximum_spanning_forest(g)
+    return f.select("a", "b", _r6(F.col("weight")).alias("weight"))
+
+
+def q_alg_triangles_pp(spark, sf_dir):
+    """Per-node triangle counts as diag(A³)/2 — the algebraic layer
+    (AlgebraicTriangleCounting.h:63-70) over the pp graph."""
+    from networkit_spark.operators.semiring import (
+        algebraic_triangle_counting,
+    )
+    g = TG.graph_part_part(spark, sf_dir)
+    return algebraic_triangle_counting(g)
+
+
+def q_pivot_mds_pps1(spark, sf_dir):
+    """PivotMDS 2-D layout of pp(p_size=1) (PivotMDS.cpp:23-106).
+    Registered WITHOUT an oracle (rows-only driver check): the k×k
+    eigensolve is not SQL-expressible; the full pipeline is verified
+    in pytest against a pure-numpy replication on karate."""
+    from networkit_spark.operators.layout import pivot_mds
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return pivot_mds(g, dim=2, num_pivots=8, seed=3).select(
+        "id", _r6(F.col("x0")).alias("x0"), _r6(F.col("x1")).alias("x1"))
+
+
 # ---------------------------------------------------------------------------
 # partition quality / similarity measures
 # ---------------------------------------------------------------------------
@@ -821,6 +865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,
         "partition_sim_pp": q_partition_sim_pp,
+        "msf_pps1w": q_msf_pps1w,
+        "umsf_pps1w": q_umsf_pps1w,
+        "alg_triangles_pp": q_alg_triangles_pp,
+        "pivot_mds_pps1": q_pivot_mds_pps1,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,
         "corpus_scc": q_corpus_scc,

@@ -59,6 +59,20 @@ pp_sym AS (
 )
 """
 
+# weighted pp(p_size=1): weight = raw co-occurrence join-row count
+# (lockstep with sources/tpch_graph.graph_pps1_weighted)
+PPS1W = """
+p1v AS MATERIALIZED (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+p1e AS MATERIALIZED (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_partkey IN (SELECT id FROM p1v)
+    AND b.l_partkey IN (SELECT id FROM p1v)
+  GROUP BY 1, 2
+)
+"""
+
 TOKS = r"""
 dt AS (
   SELECT DISTINCT doc_id AS id,
@@ -1710,6 +1724,63 @@ reach(a, b) AS (
 SELECT r1.a AS id, MAX(r1.b) AS component
 FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
 GROUP BY r1.a
+"""
+
+    # -- spanning-forest-by-weight family (operators/msf.py) --------------
+    # Both oracles use the cycle property directly: an edge is in the
+    # (union of) maximum spanning forest(s) iff its endpoints are NOT
+    # connected using only strictly greater edges — greater by full key
+    # (weight, a, b) for the unique MSF, by weight alone for the union.
+    o["msf_pps1w"] = f"""
+WITH RECURSIVE {PPS1W},
+ek AS MATERIALIZED (
+  SELECT a, b, w, ROW_NUMBER() OVER (ORDER BY w, a, b) AS k FROM p1e
+),
+symk AS MATERIALIZED (
+  SELECT a AS u, b AS v, k FROM ek UNION ALL SELECT b AS u, a AS v, k FROM ek
+),
+reach(eid, k0, t) AS (
+  SELECT k, k, a FROM ek
+  UNION
+  SELECT r.eid, r.k0, s.v FROM reach r JOIN symk s ON s.u = r.t AND s.k > r.k0
+)
+SELECT e.a, e.b, (ROUND(e.w, 6) + 0.0) AS weight
+FROM ek e
+WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.eid = e.k AND r.t = e.b)
+"""
+
+    o["umsf_pps1w"] = f"""
+WITH RECURSIVE {PPS1W},
+sym AS MATERIALIZED (
+  SELECT a AS u, b AS v, w FROM p1e UNION ALL SELECT b AS u, a AS v, w FROM p1e
+),
+thr AS MATERIALIZED (SELECT DISTINCT w FROM p1e),
+nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+reach(w0, s, t) AS (
+  SELECT thr.w, n.id, n.id FROM thr CROSS JOIN nodes n
+  UNION
+  SELECT r.w0, r.s, e.v FROM reach r JOIN sym e ON e.u = r.t AND e.w > r.w0
+)
+SELECT e.a, e.b, (ROUND(e.w, 6) + 0.0) AS weight
+FROM p1e e
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r WHERE r.w0 = e.w AND r.s = e.a AND r.t = e.b
+)
+"""
+
+    # -- algebraic layer: diag(A^3)/2 per node (operators/algebraic.py) ---
+    o["alg_triangles_pp"] = f"""
+WITH {PP},
+closed AS (
+  SELECT s1.src AS id
+  FROM pp_sym s1
+  JOIN pp_sym s2 ON s2.src = s1.dst AND s2.dst <> s1.src
+  JOIN pp_sym s3 ON s3.src = s1.src AND s3.dst = s2.dst
+)
+SELECT v.id, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles
+FROM pp_verts v LEFT JOIN (
+  SELECT id, COUNT(*) / 2 AS c FROM closed GROUP BY id
+) t ON t.id = v.id
 """
 
     return o

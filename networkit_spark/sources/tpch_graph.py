@@ -105,6 +105,28 @@ SQL_EDGES_PP = """
 SQL_VERTICES_PP = "SELECT p_partkey AS id FROM part"
 
 
+def graph_pps1_weighted(spark: SparkSession, sf_dir: str) -> Graph:
+    """pp(p_size=1) with weight = co-occurrence count (join-row count,
+    NOT distinct orders) — integral weights with heavy ties, the
+    fixture for the spanning-forest-by-weight family (msf.py): few
+    weight classes make the union-MSF a strict superset of any one
+    MSF, and every class sweep is driver-checkable in SQL."""
+    pv = load(spark, sf_dir, "part").filter(F.col("p_size") == 1).select(
+        F.col("p_partkey").alias("id"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey") \
+        .join(pv.withColumnRenamed("id", "l_partkey"), "l_partkey",
+              "left_semi")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("src"),
+                 F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return Graph(e, directed=False, weighted=True, vertices=pv)
+
+
 def graph_pp_size1(spark: SparkSession, sf_dir: str) -> Graph:
     """pp subgraph induced on parts with p_size = 1 (~40 nodes at
     sf0.01, sparse, 2 components, diameter ~9) — the fixture for the
