@@ -689,3 +689,105 @@ def read_mat(spark: SparkSession, path: str, key: str = "G") -> Graph:
 
 _READERS["mat"] = read_mat
 _EXT[".mat"] = "mat"
+
+
+def read_dibap(spark: SparkSession, path: str) -> Graph:
+    """DibaP binary graph reader (io/DibapGraphReader.cpp:20-166):
+    magic 'GI' short, then network-byte-order int sections — V, vertex
+    weight dim + weights, CSR offsets of[V+1], targets to[2m], edge
+    weight dim + weights, coordinate dim + float coords. Undirected:
+    an edge materializes once, at v <= to[e] (DibapGraphReader.cpp:149).
+    The header is inherently sequential (driver-parsed, like the
+    reference); edges land in a distributed DataFrame. Floats are read
+    unswapped, mirroring the reference's fread (little-endian on x86)."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+
+    def ints(k):
+        nonlocal off
+        vals = struct.unpack_from(f">{k}i", data, off)
+        off += 4 * k
+        return list(vals)
+
+    (magic,) = struct.unpack_from(">H", data, off)
+    off += 2
+    if magic != (ord("G") << 8 | ord("I")):
+        raise ValueError(f"not a DibaP GI file: magic={magic:#x}")
+    (v_count,) = ints(1)
+    (dvw,) = ints(1)
+    if dvw > 0:
+        ints(v_count * dvw)  # vertex weights: parsed, unused (reference FIXME)
+    of = ints(v_count + 1)
+    num_e2 = of[v_count]
+    to = ints(num_e2)
+    (dew,) = ints(1)
+    ew = ints(num_e2 * dew) if dew > 0 else None
+    (dxy,) = ints(1)
+    if dxy > 0:
+        struct.unpack_from(f"<{v_count * dxy}f", data, off)
+        off += 4 * v_count * dxy
+    rows = []
+    for v in range(v_count):
+        for e in range(of[v], of[v + 1]):
+            if v <= to[e]:
+                rows.append((v, to[e], float(ew[e]) if ew else 1.0))
+    edges = spark.createDataFrame(
+        rows or [(0, 0, 1.0)], "src long, dst long, weight double")
+    if not rows:
+        edges = edges.limit(0)
+    return Graph(edges, directed=False, weighted=dew > 0,
+                 vertices=spark.range(v_count).select(F.col("id")))
+
+
+_READERS["dibap"] = read_dibap
+_EXT[".dibap"] = "dibap"
+
+
+def read_raster_points(spark: SparkSession, path: str,
+                       normalization_factor: float = 1.0,
+                       seed: int = 42) -> DataFrame:
+    """(x, y): ESRI ASCII raster → population points
+    (io/RasterReader.cpp:21-100): header gives ncols/nrows (value after
+    a 14-char prefix), 4 ignored header lines, then nrows data lines;
+    each cell spawns round(value · factor) points uniformly inside its
+    unit cell. The reference draws Aux::Random reals; here the jitter
+    is counter-based (xxhash64 of (row, col, i, seed) → [0,1)), so the
+    point cloud is deterministic AND the expansion runs distributed —
+    one posexplode over cells, one sequence explode over counts; a
+    continental raster never touches the driver."""
+    with open(path) as f:
+        header = [f.readline() for _ in range(6)]
+        data_start = 6
+    ncols = int(float(header[0][14:].strip()))
+    nrows = int(float(header[1][14:].strip()))
+    lines = spark.read.text(path)
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
+
+    # deterministic line index; drop the 6 header lines
+    idx = ordered_dense_ids(
+        lines.select(F.monotonically_increasing_id().alias("k"), "value"),
+        ["k"], out_col="ln")
+    cells = (
+        idx.filter(F.col("ln") >= data_start)
+        .select((F.col("ln") - data_start).alias("row"),
+                F.posexplode(F.split(F.trim("value"), r"\s+"))
+                .alias("col", "val"))
+        .select("row", "col",
+                F.round(F.col("val").cast("double")
+                        * F.lit(normalization_factor)).cast("long")
+                .alias("npts"))
+        .filter(F.col("npts") > 0)
+    )
+    u = lambda salt: (  # noqa: E731
+        (F.pmod(F.xxhash64("row", "col", "i", F.lit(salt), F.lit(seed)),
+                F.lit(1 << 40))) / float(1 << 40))
+    return (
+        cells.select("row", "col",
+                     F.explode(F.sequence(F.lit(0), F.col("npts") - 1))
+                     .alias("i"))
+        .select((F.col("col") + u(0)).alias("x"),
+                (F.lit(1.0) - F.col("row") - F.lit(1.0) + u(1)).alias("y"))
+    )

@@ -269,3 +269,70 @@ def test_read_mat_requires_scipy_or_works(spark, tmp_path):
         g = read_mat(spark, p)
         assert sorted((r["src"], r["dst"], r["weight"])
                       for r in g.edges.collect()) == [(0, 1, 1.0), (1, 2, 2.0)]
+
+
+def test_dibap_reader(spark, tmp_path):
+    """Synthesized DibaP 'GI' binary (DibapGraphReader.cpp layout):
+    path graph 0-1-2-3 with symmetric int weights; v <= to[e] rule."""
+    import struct
+    from networkit_spark.sources.io_formats import read_dibap, read_graph
+
+    of = [0, 1, 3, 5, 6]
+    to = [1, 0, 2, 1, 3, 2]
+    ew = [5, 5, 7, 7, 9, 9]
+    blob = struct.pack(">H", (ord("G") << 8) | ord("I"))
+    blob += struct.pack(">i", 4)          # V
+    blob += struct.pack(">i", 0)          # dvw
+    blob += struct.pack(f">{len(of)}i", *of)
+    blob += struct.pack(f">{len(to)}i", *to)
+    blob += struct.pack(">i", 1)          # dew
+    blob += struct.pack(f">{len(ew)}i", *ew)
+    blob += struct.pack(">i", 0)          # dxy
+    p = tmp_path / "g.dibap"
+    p.write_bytes(blob)
+    g = read_dibap(spark, str(p))
+    got = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    assert got == {(0, 1, 5.0), (1, 2, 7.0), (2, 3, 9.0)}
+    assert g.num_vertices() == 4 and g.weighted and not g.directed
+    # facade dispatch by extension
+    assert read_graph(spark, str(p)).num_edges() == 3
+
+
+def test_dibap_bad_magic(spark, tmp_path):
+    import pytest
+    from networkit_spark.sources.io_formats import read_dibap
+
+    p = tmp_path / "bad.dibap"
+    p.write_bytes(b"XX\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="magic"):
+        read_dibap(spark, str(p))
+
+
+def test_raster_points(spark, tmp_path):
+    """ESRI ASCII raster -> deterministic jittered points
+    (RasterReader.cpp:21-100): counts per cell, coords inside the cell."""
+    from networkit_spark.sources.io_formats import read_raster_points
+
+    txt = (
+        f"{'ncols':<14}3\n"
+        f"{'nrows':<14}2\n"
+        f"{'xllcorner':<14}0.0\n"
+        f"{'yllcorner':<14}0.0\n"
+        f"{'cellsize':<14}1.0\n"
+        f"{'NODATA_value':<14}-9999\n"
+        "1 0 2\n"
+        "0 3 0\n"
+    )
+    p = tmp_path / "pop.asc"
+    p.write_text(txt)
+    pts = read_raster_points(spark, str(p), normalization_factor=1.0)
+    rows = [(r["x"], r["y"]) for r in pts.collect()]
+    assert len(rows) == 1 + 2 + 3
+    in_cell = lambda x, y, c, r: c <= x < c + 1 and -r <= y < -r + 1  # noqa: E731
+    assert sum(in_cell(x, y, 0, 0) for x, y in rows) == 1
+    assert sum(in_cell(x, y, 2, 0) for x, y in rows) == 2
+    assert sum(in_cell(x, y, 1, 1) for x, y in rows) == 3
+    # deterministic per seed
+    again = [(r["x"], r["y"]) for r in
+             read_raster_points(spark, str(p), 1.0).collect()]
+    assert sorted(rows) == sorted(again)
