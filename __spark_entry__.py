@@ -669,6 +669,33 @@ def q_centralization_pps1(spark, sf_dir):
         _r6(F.col("centralization")).alias("centralization"))
 
 
+def q_plm_pp(spark, sf_dir):
+    """PLM (Louvain) on the pp subgraph induced on p_size <= 5 parts,
+    capped at 4 move rounds x 2 levels: PLM's sweep cost is round
+    LATENCY (a chain of tiny sequential jobs), so the driver budget is
+    bought by capping rounds, not shrinking data (full pp at defaults
+    runs 145s at sf0.01 — the partition_sim_pp lesson). Summarized as
+    (n_communities, modularity). Registered WITHOUT an oracle (rows-only driver
+    check): PLM's greedy trajectory depends on join-order-free
+    max-gain races that DuckDB cannot bit-reproduce; modularity
+    quality and reference-fixture behavior are pytest-verified
+    (tests/test_plm.py, tests/test_lfr.py)."""
+    from networkit_spark.operators.plm import plm
+    pv = TG.load(spark, sf_dir, "part").filter(F.col("p_size") <= 5) \
+        .select(F.col("p_partkey").alias("id"))
+    e = TG.edges_part_part(spark, sf_dir)
+    e = (e.join(pv.withColumnRenamed("id", "src"), "src", "left_semi")
+         .join(pv.withColumnRenamed("id", "dst"), "dst", "left_semi")
+         .select("src", "dst", "weight"))
+    g = Graph(e, directed=False, weighted=False, vertices=pv)
+    labels = plm(g, max_rounds=4, max_levels=2)
+    m = modularity(g, labels)
+    k = labels.select("label").distinct().count()
+    return spark.createDataFrame(
+        [(k, float(m))], "n_communities long, modularity double").select(
+        "n_communities", _r6(F.col("modularity")).alias("modularity"))
+
+
 def q_msf_pps1w(spark, sf_dir):
     """THE maximum spanning forest of the weighted pp(p_size=1) graph
     under the strict key (weight, a, b) — distributed Borůvka (msf.py).
@@ -865,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conductance_pp_size": q_conductance_pp_size,
         "local_eval_pp_brand": q_local_eval_pp_brand,
         "partition_sim_pp": q_partition_sim_pp,
+        "plm_pp": q_plm_pp,
         "msf_pps1w": q_msf_pps1w,
         "umsf_pps1w": q_umsf_pps1w,
         "alg_triangles_pp": q_alg_triangles_pp,
