@@ -729,6 +729,18 @@ def q_alg_triangles_pp(spark, sf_dir):
     return algebraic_triangle_counting(g)
 
 
+def q_prefix_jaccard_pps1(spark, sf_dir):
+    """PrefixJaccardScore (triangle attribute) per pp(p_size=1) edge
+    (PrefixJaccardScore.cpp:19-147) — the full per-prefix argmax, with
+    a complete SQL twin (ranks, prefix-entry events, windowed cumsum)."""
+    from networkit_spark.operators.sparsification import (
+        prefix_jaccard_scores,
+    )
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return prefix_jaccard_scores(g).select(
+        "lo", "hi", _r6(F.col("score")).alias("score"))
+
+
 def q_pivot_mds_pps1(spark, sf_dir):
     """PivotMDS 2-D layout of pp(p_size=1) (PivotMDS.cpp:23-106).
     Registered WITHOUT an oracle (rows-only driver check): the k×k
@@ -896,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_pps1w": q_msf_pps1w,
         "umsf_pps1w": q_umsf_pps1w,
         "alg_triangles_pp": q_alg_triangles_pp,
+        "prefix_jaccard_pps1": q_prefix_jaccard_pps1,
         "pivot_mds_pps1": q_pivot_mds_pps1,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,

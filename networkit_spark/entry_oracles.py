@@ -1768,6 +1768,69 @@ WHERE NOT EXISTS (
 )
 """
 
+    # -- PrefixJaccardScore: ranks + prefix-entry events + cumsum ---------
+    o["prefix_jaccard_pps1"] = f"""
+WITH {PP},
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+tri AS (
+  SELECT e.src AS lo, e.dst AS hi,
+         (SELECT COUNT(*) FROM psym a, psym b
+          WHERE a.src = e.src AND b.src = e.dst AND a.dst = b.dst) AS att
+  FROM pe e
+),
+inc AS (
+  SELECT s.src AS u, s.dst AS w, t.att
+  FROM psym s JOIN tri t
+    ON t.lo = LEAST(s.src, s.dst) AND t.hi = GREATEST(s.src, s.dst)
+),
+ranked AS (
+  SELECT u, w, RANK() OVER (PARTITION BY u ORDER BY att DESC) - 1 AS r
+  FROM inc
+),
+evu AS (
+  SELECT e.src AS lo, e.dst AS hi, rk.w, rk.r AS ru
+  FROM pe e JOIN ranked rk ON rk.u = e.src AND rk.w <> e.dst
+),
+evv AS (
+  SELECT e.src AS lo, e.dst AS hi, rk.w, rk.r AS rv
+  FROM pe e JOIN ranked rk ON rk.u = e.dst AND rk.w <> e.src
+),
+bothj AS (
+  SELECT COALESCE(u.lo, v.lo) AS lo, COALESCE(u.hi, v.hi) AS hi,
+         COALESCE(u.w, v.w) AS w, u.ru, v.rv
+  FROM evu u FULL OUTER JOIN evv v
+    ON u.lo = v.lo AND u.hi = v.hi AND u.w = v.w
+),
+deltas AS (
+  SELECT lo, hi, r, SUM(du) AS du, SUM(dv) AS dv, SUM(dc) AS dc FROM (
+    SELECT lo, hi, ru AS r, 1 AS du, 0 AS dv, 0 AS dc
+    FROM bothj WHERE ru IS NOT NULL
+    UNION ALL
+    SELECT lo, hi, rv, 0, 1, 0 FROM bothj WHERE rv IS NOT NULL
+    UNION ALL
+    SELECT lo, hi, GREATEST(ru, rv), 0, 0, 1
+    FROM bothj WHERE ru IS NOT NULL AND rv IS NOT NULL
+  ) GROUP BY 1, 2, 3
+),
+jac AS (
+  SELECT lo, hi,
+         SUM(dc) OVER win * 1.0
+           / (SUM(du) OVER win + SUM(dv) OVER win - SUM(dc) OVER win) AS j
+  FROM deltas
+  WINDOW win AS (PARTITION BY lo, hi ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+best AS (SELECT lo, hi, MAX(j) AS s FROM jac GROUP BY 1, 2)
+SELECT e.src AS lo, e.dst AS hi,
+       (ROUND(COALESCE(b.s, 0.0), 6) + 0.0) AS score
+FROM pe e LEFT JOIN best b ON b.lo = e.src AND b.hi = e.dst
+"""
+
     # -- algebraic layer: diag(A^3)/2 per node (operators/algebraic.py) ---
     o["alg_triangles_pp"] = f"""
 WITH {PP},

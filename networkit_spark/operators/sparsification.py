@@ -402,3 +402,80 @@ def linearize_scores(scores: DataFrame, score_col: str = "score",
                 (F.col("_pos").cast("double")
                  / F.lit(float(m - 1))).alias("score"))
     )
+
+
+def prefix_jaccard_scores(g: Graph,
+                          attribute: DataFrame | None = None) -> DataFrame:
+    """(lo, hi, score): PrefixJaccardScore — max over rank prefixes of
+    the Jaccard similarity of the endpoints' top-attribute neighbor
+    sets (edgescores/PrefixJaccardScore.cpp:19-147).
+
+    Reference semantics mirrored exactly: each ego ranks its incident
+    edges by attribute DESC with competition ranking (ties share the
+    rank = #strictly-greater neighbors); for an edge (u,v), at every
+    rank r the partner-excluded prefix sets A_u(r), A_v(r) are compared
+    and the best Jaccard wins. `attribute` is a per-edge (lo, hi, att)
+    frame; default = triangle counts (the Simmelian pairing).
+
+    Plan: J(r) changes only when a neighbor ENTERS a prefix, so each
+    edge emits one event per incident neighbor (ru / rv / both→common
+    at max(ru,rv)); a per-edge cumulative-sum window over the event
+    ranks yields every prefix's (|∩|, |∪|) in one pass. Event volume is
+    Σ_e (deg u + deg v) — the wedge cost class — and every window is
+    partitioned (per ego / per edge), never global."""
+    from pyspark.sql import Window
+
+    if attribute is None:
+        attribute = triangle_edge_scores(g).withColumnRenamed(
+            "triangles", "att")
+    att_col = attribute.columns[2]
+    e = _distinct_edges(g)
+    sym = e.select(F.col("lo").alias("u"), F.col("hi").alias("w"),
+                   "lo", "hi").union(
+        e.select(F.col("hi").alias("u"), F.col("lo").alias("w"),
+                 "lo", "hi"))
+    inc = sym.join(attribute.select("lo", "hi",
+                                    F.col(att_col).alias("att")),
+                   ["lo", "hi"]).select("u", "w", "att")
+    ranked = inc.withColumn(
+        "r", F.rank().over(Window.partitionBy("u")
+                           .orderBy(F.desc("att"))) - 1)
+    ev_u = (e.join(ranked.withColumnRenamed("u", "lo"), "lo")
+            .filter(F.col("w") != F.col("hi"))
+            .select("lo", "hi", "w", F.col("r").alias("ru")))
+    ev_v = (e.join(ranked.withColumnRenamed("u", "hi"), "hi")
+            .filter(F.col("w") != F.col("lo"))
+            .select("lo", "hi", "w", F.col("r").alias("rv")))
+    both = ev_u.join(ev_v, ["lo", "hi", "w"], "full_outer")
+    deltas = (
+        both.select(
+            "lo", "hi",
+            F.explode(F.array_compact(F.array(
+                F.when(F.col("ru").isNotNull(),
+                       F.struct(F.col("ru").alias("r"),
+                                F.lit(1).alias("du"), F.lit(0).alias("dv"),
+                                F.lit(0).alias("dc"))),
+                F.when(F.col("rv").isNotNull(),
+                       F.struct(F.col("rv").alias("r"),
+                                F.lit(0).alias("du"), F.lit(1).alias("dv"),
+                                F.lit(0).alias("dc"))),
+                F.when(F.col("ru").isNotNull() & F.col("rv").isNotNull(),
+                       F.struct(F.greatest("ru", "rv").alias("r"),
+                                F.lit(0).alias("du"), F.lit(0).alias("dv"),
+                                F.lit(1).alias("dc"))),
+            ))).alias("d"))
+        .select("lo", "hi", "d.r", "d.du", "d.dv", "d.dc")
+        .groupBy("lo", "hi", "r")
+        .agg(F.sum("du").alias("du"), F.sum("dv").alias("dv"),
+             F.sum("dc").alias("dc"))
+    )
+    w = Window.partitionBy("lo", "hi").orderBy("r") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    jac = deltas.select(
+        "lo", "hi",
+        (F.sum("dc").over(w)
+         / (F.sum("du").over(w) + F.sum("dv").over(w)
+            - F.sum("dc").over(w))).alias("j"))
+    best = jac.groupBy("lo", "hi").agg(F.max("j").alias("score"))
+    return e.join(best, ["lo", "hi"], "left").select(
+        "lo", "hi", F.coalesce("score", F.lit(0.0)).alias("score"))

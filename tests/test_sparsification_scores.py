@@ -205,3 +205,52 @@ def test_linearize_single_edge(spark):
         jaccard_edge_scores, linearize_scores)
     rows = linearize_scores(jaccard_edge_scores(g)).collect()
     assert [r["score"] for r in rows] == [0.5]
+
+
+def test_prefix_jaccard_matches_reference_loop(spark, karate):
+    """prefix_jaccard_scores vs a python replication of
+    PrefixJaccardScore.cpp:19-147 (competition ranks incl. the partner
+    edge, partner excluded from the sets, J evaluated per rank)."""
+    from collections import defaultdict
+
+    from networkit_spark.operators.sparsification import (
+        prefix_jaccard_scores,
+    )
+    from networkit_spark.operators.triangles import triangle_edge_scores
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    tri = {(r["lo"], r["hi"]): r["triangles"]
+           for r in triangle_edge_scores(g).collect()}
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+
+    def rank_of(u):
+        atts = {w: tri[(min(u, w), max(u, w))] for w in adj[u]}
+        return {w: sum(1 for x in atts.values() if x > a)
+                for w, a in atts.items()}
+
+    ranks = {u: rank_of(u) for u in adj}
+
+    def oracle(u, v):
+        ru = {w: r for w, r in ranks[u].items() if w != v}
+        rv = {w: r for w, r in ranks[v].items() if w != u}
+        if not ru and not rv:
+            return 0.0
+        best = 0.0
+        for r in range(max(list(ru.values()) + list(rv.values())) + 1):
+            au = {w for w, x in ru.items() if x <= r}
+            av = {w for w, x in rv.items() if x <= r}
+            union = len(au | av)
+            if union:
+                best = max(best, len(au & av) / union)
+        return best
+
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in prefix_jaccard_scores(g).collect()}
+    assert len(got) == 78
+    for (lo, hi), s in got.items():
+        assert s == pytest.approx(oracle(lo, hi), abs=1e-12), (lo, hi)
