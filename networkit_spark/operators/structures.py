@@ -85,13 +85,31 @@ def maximal_independent_set(g: Graph, seed: int = 42,
 
 
 def maximal_matching(g: Graph, seed: int = 42,
-                     max_rounds: int = 128) -> DataFrame:
+                     max_rounds: int = 128,
+                     by_weight: bool = False) -> DataFrame:
     """(u, v) matched pairs (u < v): local-max handshake matching —
     every remaining vertex points at its best-priority incident edge;
-    mutually-pointed edges are matched; matched vertices leave."""
+    mutually-pointed edges are matched; matched vertices leave.
+
+    ``by_weight=True`` makes the priority (weight DESC, hash) — the
+    reference LocalMaxMatcher / PathGrowingMatcher semantics (Preis
+    local-max): the result is a ½-approximation of the maximum-WEIGHT
+    matching, not merely maximal. Default False preserves the
+    unweighted hash handshake."""
     spark = g.edges.sparkSession
     cut, scratch = _cutter(spark)
-    sym = cut(_sym(g))
+    if by_weight:
+        e = g.edges.filter("src != dst").select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+            F.col("weight").cast("double").alias("w"),
+        ).groupBy("lo", "hi").agg(F.max("w").alias("w"))
+        sym = cut(
+            e.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), "w")
+            .union(e.select(F.col("hi").alias("src"),
+                            F.col("lo").alias("dst"), "w")))
+    else:
+        sym = cut(_sym(g))
     matched = None
     for r in range(max_rounds):
         if sym.isEmpty():
@@ -99,12 +117,21 @@ def maximal_matching(g: Graph, seed: int = 42,
         lo = F.least("src", "dst")
         hi = F.greatest("src", "dst")
         pri = F.xxhash64(lo, hi, F.lit(seed), F.lit(r))
-        scored = sym.select("src", "dst", pri.alias("p"))
-        best = (
-            scored.groupBy("src")
-            .agg(F.max(F.struct(-F.col("p"), F.col("dst"))).alias("b"))
-            .select("src", F.col("b.dst").alias("dst"))
-        )
+        if by_weight:
+            scored = sym.select("src", "dst", "w", pri.alias("p"))
+            best = (
+                scored.groupBy("src")
+                .agg(F.max(F.struct(F.col("w"), -F.col("p"),
+                                    F.col("dst"))).alias("b"))
+                .select("src", F.col("b.dst").alias("dst"))
+            )
+        else:
+            scored = sym.select("src", "dst", pri.alias("p"))
+            best = (
+                scored.groupBy("src")
+                .agg(F.max(F.struct(-F.col("p"), F.col("dst"))).alias("b"))
+                .select("src", F.col("b.dst").alias("dst"))
+            )
         mutual = cut(
             best.alias("a").join(
                 best.alias("b"),

@@ -92,3 +92,55 @@ def test_spanning_forest_karate_connected(spark, karate):
                 seen.add(w)
                 stack.append(w)
     assert len(seen) == n
+
+
+def test_weighted_local_max_matching(spark):
+    """by_weight=True = LocalMaxMatcher / PathGrowingMatcher semantics:
+    a 1/2-approximation of the maximum-weight matching (Preis)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    n = 12
+    edges = []
+    seen = set()
+    while len(edges) < 26:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u == v or (min(u, v), max(u, v)) in seen:
+            continue
+        seen.add((min(u, v), max(u, v)))
+        edges.append((u, v, float(rng.randrange(1, 50))))
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    got = {(r["u"], r["v"]) for r in
+           maximal_matching(g, by_weight=True).collect()}
+    wmap = {(min(u, v), max(u, v)): w for u, v, w in edges}
+    # valid matching
+    used = [x for e in got for x in e]
+    assert len(used) == len(set(used))
+    assert all(e in wmap for e in got)
+    got_w = sum(wmap[e] for e in got)
+    # brute-force optimum over all matchings (n small)
+    best = 0.0
+    es = list(wmap.items())
+
+    def rec(i, forbidden, acc):
+        nonlocal best
+        if acc + sum(w for (e, w) in es[i:]) <= best:
+            return
+        if i == len(es):
+            best = max(best, acc)
+            return
+        (u, v), w = es[i]
+        rec(i + 1, forbidden, acc)
+        if u not in forbidden and v not in forbidden:
+            rec(i + 1, forbidden | {u, v}, acc + w)
+
+    rec(0, frozenset(), 0.0)
+    assert got_w >= 0.5 * best
+    # dominance fixture: the heavy middle edge must be picked
+    g2 = Graph.from_rows(
+        spark, [(0, 1, 1.0), (1, 2, 10.0), (2, 3, 1.0)],
+        directed=False, n=4)
+    got2 = {(r["u"], r["v"]) for r in
+            maximal_matching(g2, by_weight=True).collect()}
+    assert got2 == {(1, 2)}
