@@ -179,15 +179,16 @@ def union_maximum_spanning_forest(g: Graph,
     spark = g.edges.sparkSession
     with Scratch(spark, "umsf") as sc:
         edges = sc.cut(_canon_edges(g))
-        classes = [
-            r["w"] for r in
-            edges.select("w").distinct().orderBy(F.desc("w")).collect()
-        ]
-        if len(classes) > max_classes:
+        # count BEFORE collecting: a continuous-weight graph must hit the
+        # guard, not the driver's memory
+        distinct_w = edges.select("w").distinct()
+        n_classes = distinct_w.count()
+        if n_classes > max_classes:
             raise ValueError(
                 "union_maximum_spanning_forest sweeps one round per "
-                f"distinct weight ({len(classes)} > max_classes="
+                f"distinct weight ({n_classes} > max_classes="
                 f"{max_classes}); quantize weights or raise the guard")
+        classes = [r["w"] for r in distinct_w.orderBy(F.desc("w")).collect()]
         comp = sc.cut(g.vertices.select("id", F.col("id").alias("comp")))
         members = None
         for w in classes:
