@@ -174,3 +174,80 @@ def update_sssp(g: Graph, dist: DataFrame,
                            job_id="dyn-sssp")
     edges.unpersist()
     return new_g, out
+
+
+def update_apsp(dist: DataFrame, inserts: DataFrame,
+                directed: bool = False, max_rounds: int = 64) -> DataFrame:
+    """DynAPSP batch-insert update (DynAPSP.cpp:93-150): an inserted or
+    weight-decreased edge (u, v, w) improves d(s, t) to
+    d(s,u) + w + d(v,t) — the Ramalingam–Reps rule the reference applies
+    via affected-vertex BFS queues; here it is ONE relational join per
+    round, iterated to a fixpoint so multi-insert batches compose (one
+    insert's improvement feeding another's).
+
+    ``dist``: all-pairs finite distances (s, v, d) — the
+    closeness._dist_rows shape; the d(s,s)=0 diagonal is added
+    internally if absent. ``inserts``: (u, v, w) rows; both
+    orientations are considered when ``directed`` is False. Previously
+    unreachable pairs appear as new rows. Distance-increasing events
+    must recompute, like the reference (DynAPSP.cpp:99 throws).
+
+    Distributed shape: the insert set is broadcast (event batches are
+    small); each round shuffles only candidate improvements keyed by
+    (s, t) — the affected-pair region — never the full n² table."""
+    from networkit_spark.plans.scratch import Scratch
+
+    spark = dist.sparkSession
+    with Scratch(spark, "dynapsp") as sc:
+        ins = inserts.select(F.col("u").cast("long"),
+                             F.col("v").cast("long"),
+                             F.col("w").cast("double"))
+        if not directed:
+            ins = ins.union(ins.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v"), "w"))
+        ins = ins.groupBy("u", "v").agg(F.min("w").alias("w"))
+        nodes = (dist.select(F.col("s").alias("id"))
+                 .union(dist.select(F.col("v").alias("id")))
+                 .union(ins.select(F.col("u").alias("id")))
+                 .union(ins.select(F.col("v").alias("id")))
+                 .distinct())
+        diag = nodes.select(F.col("id").alias("s"),
+                            F.col("id").alias("v"), F.lit(0.0).alias("d"))
+        cur = sc.cut(
+            dist.select("s", "v", F.col("d").cast("double").alias("d"))
+            .union(diag).groupBy("s", "v").agg(F.min("d").alias("d")))
+        for _ in range(max_rounds):
+            left = cur.select("s", F.col("v").alias("u"),
+                              F.col("d").alias("dsu"))
+            right = cur.select(F.col("s").alias("v2"),
+                               F.col("v").alias("t"),
+                               F.col("d").alias("dvt"))
+            cand = (
+                left.join(F.broadcast(ins), "u")
+                .join(right, F.col("v") == F.col("v2"))
+                .groupBy("s", F.col("t").alias("v"))
+                .agg(F.min(F.col("dsu") + F.col("w") + F.col("dvt"))
+                     .alias("dn"))
+            )
+            nxt = (
+                cur.join(cand, ["s", "v"], "full_outer")
+                .select(
+                    "s", "v",
+                    F.least(F.coalesce("d", F.lit(float("inf"))),
+                            F.coalesce("dn", F.lit(float("inf"))))
+                    .alias("d"),
+                    ((F.col("d").isNull())
+                     | (F.coalesce("dn", F.lit(float("inf"))) < F.col("d")))
+                    .cast("int").alias("_chg"))
+            )
+            nxt, m = sc.cut_observed(
+                nxt, [F.sum("_chg").alias("chg")], keep=["s", "v", "d"])
+            cur = nxt
+            if not int(m["chg"] or 0):
+                break
+        else:
+            raise RuntimeError("update_apsp: no fixpoint in %d rounds"
+                               % max_rounds)
+        out = cur.persist()
+        out.count()
+    return out

@@ -122,3 +122,64 @@ def test_dyn_sssp_rejects_removals_and_weight_increases(spark):
         "type string, u long, v long, w double, t long")
     with pytest.raises(ValueError, match="increases"):
         update_sssp(g, d0, inc)
+
+
+def test_update_apsp_batch_insert(spark, karate):
+    """DynAPSP batch update vs full BFS recompute: remove 5 karate
+    edges, compute APSP on the reduced graph, re-insert all 5 in ONE
+    batch, compare the repaired table with APSP on the full graph
+    (multi-insert interactions included)."""
+    from collections import deque
+
+    from networkit_spark.streaming.dyn import update_apsp
+
+    edges, n = karate
+    removed = edges[::16][:5]
+    kept = [e for e in edges if e not in removed]
+
+    def apsp(es):
+        adj = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        out = {}
+        for s in range(n):
+            out[(s, s)] = 0
+            seen = {s}
+            q = deque([(s, 0)])
+            while q:
+                x, d = q.popleft()
+                for y in adj.get(x, ()):
+                    if y not in seen:
+                        seen.add(y)
+                        out[(s, y)] = d + 1
+                        q.append((y, d + 1))
+        return out
+
+    base = apsp(kept)
+    want = apsp(edges)
+    dist0 = spark.createDataFrame(
+        [(s, v, float(d)) for (s, v), d in base.items()],
+        "s long, v long, d double")
+    ins = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in removed], "u long, v long, w double")
+    got = {(r["s"], r["v"]): r["d"]
+           for r in update_apsp(dist0, ins, directed=False).collect()}
+    assert got == {k: float(d) for k, d in want.items()}
+
+
+def test_update_apsp_directed_unreachable_pair(spark):
+    """An insert that CONNECTS two previously separate reachability
+    cones creates brand-new rows."""
+    from networkit_spark.streaming.dyn import update_apsp
+
+    # 0->1   2->3 ; insert 1->2 with weight 5
+    dist0 = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 2.0)], "s long, v long, d double")
+    ins = spark.createDataFrame([(1, 2, 5.0)], "u long, v long, w double")
+    got = {(r["s"], r["v"]): r["d"]
+           for r in update_apsp(dist0, ins, directed=True).collect()}
+    assert got[(0, 2)] == 6.0
+    assert got[(0, 3)] == 8.0
+    assert got[(1, 3)] == 7.0
+    assert (2, 0) not in got  # directed: no backward paths
