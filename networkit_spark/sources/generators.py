@@ -732,3 +732,18 @@ def dynamic_path_events(n: int):
     """GraphEvent rows growing a path 0-1-...-n-1 one edge per tick
     (reference cpp/generators/DynamicPathGenerator.cpp)."""
     return [("EDGE_ADDITION", i, i + 1, 1.0, i) for i in range(n - 1)]
+
+
+def dynamic_barabasi_albert_events(n: int, k: int, n0: int | None = None,
+                                   seed: int = 42):
+    """GraphEvent rows [(type, u, v, w, t)] replaying Barabási–Albert
+    preferential-attachment growth (reference cpp/generators/
+    DynamicBarabasiAlbertGenerator.cpp — per time step one new node and
+    its k attachment edges share a tick). Replaying through
+    ``streaming.events.apply_events`` reconstructs exactly
+    ``barabasi_albert_edges(n, k, n0, seed)``."""
+    n0 = n0 or k
+    events = []
+    for u, v in barabasi_albert_edges(n, k, n0, seed):
+        events.append(("EDGE_ADDITION", u, v, 1.0, v - n0))
+    return events

@@ -49,3 +49,22 @@ def test_dynamic_generators_replay(spark):
     pe = dynamic_path_events(5)
     assert pe == [("EDGE_ADDITION", 0, 1, 1.0, 0), ("EDGE_ADDITION", 1, 2, 1.0, 1),
                   ("EDGE_ADDITION", 2, 3, 1.0, 2), ("EDGE_ADDITION", 3, 4, 1.0, 3)]
+
+
+def test_dynamic_barabasi_albert_replay(spark):
+    from networkit_spark.sources.generators import (
+        barabasi_albert_edges, dynamic_barabasi_albert_events,
+    )
+    from networkit_spark.streaming.events import EVENT_SCHEMA, apply_events
+
+    ev = dynamic_barabasi_albert_events(30, k=2, seed=11)
+    # each new node's k attachments share its tick (DynamicBarabasiAlbert
+    # advances time once per node)
+    ticks = {}
+    for _t, u, v, _w, t in ev:
+        ticks.setdefault(t, []).append((u, v))
+    assert all(len(es) <= 2 for es in ticks.values())
+    evdf = spark.createDataFrame(ev, EVENT_SCHEMA)
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    snap = {(r["src"], r["dst"]) for r in apply_events(empty, evdf).collect()}
+    assert snap == set(barabasi_albert_edges(30, k=2, seed=11))
