@@ -160,3 +160,37 @@ def algebraic_triangle_counting(g: Graph) -> DataFrame:
         (F.count("*") / 2).cast("long").alias("triangles"))
     return g.vertices.select("id").join(per_node, "id", "left") \
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+
+
+def algebraic_pagerank(g: Graph, damp: float = 0.85,
+                       iters: int = 20) -> DataFrame:
+    """(id, rank): PageRank as a plus-times SpMV iteration over the
+    damp·w/wdeg coefficient matrix (AlgebraicPageRank.h semantics),
+    final sum-normalization like the reference. The fixed-iteration
+    twin of operators.pagerank(fixed_iters=iters) — equality is the
+    pytest contract."""
+    from networkit_spark.operators.pagerank import _coef_edges
+
+    spark = g.edges.sparkSession
+    n = g.num_vertices()
+    if n == 0:
+        return spark.createDataFrame([], "id long, rank double")
+    teleport = (1.0 - damp) / n
+    with Scratch(spark, "apr") as sc:
+        A = sc.cut(_coef_edges(g, damp).select(
+            F.col("src").alias("row"), F.col("dst").alias("col"),
+            F.col("coef").alias("val")))
+        x = sc.cut(g.vertices.select(
+            "id", F.lit(1.0 / n).alias("val")))
+        for _ in range(iters):
+            gathered = spmv(A, x)
+            x = sc.cut(
+                x.select("id").join(gathered.withColumnRenamed("val", "g"),
+                                    "id", "left")
+                .select("id", (F.lit(teleport)
+                               + F.coalesce("g", F.lit(0.0))).alias("val")))
+        total = x.agg(F.sum("val")).collect()[0][0]
+        out = x.select("id", (F.col("val") / F.lit(float(total)))
+                       .alias("rank")).persist()
+        out.count()
+    return out

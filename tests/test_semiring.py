@@ -72,3 +72,18 @@ def test_algebraic_triangles_karate(spark, karate):
         t = sum(len(adj[a] & adj[v] & {b for b in nbrs if b > a})
                 for a in nbrs)
         assert got[v] == t, v
+
+
+def test_algebraic_pagerank_matches_pagerank(spark, karate):
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.operators.semiring import algebraic_pagerank
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    want = {r["id"]: r["rank"]
+            for r in pagerank(g, fixed_iters=8).collect()}
+    got = {r["id"]: r["rank"]
+           for r in algebraic_pagerank(g, iters=8).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
