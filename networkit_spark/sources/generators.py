@@ -747,3 +747,66 @@ def dynamic_barabasi_albert_events(n: int, k: int, n0: int | None = None,
     for u, v in barabasi_albert_edges(n, k, n0, seed):
         events.append(("EDGE_ADDITION", u, v, 1.0, v - n0))
     return events
+
+
+def dynamic_forest_fire_events(n_steps: int, p: float,
+                               directed: bool = False, r: float = 1.0,
+                               seed: int = 42):
+    """GraphEvent rows [(type, u, v, w, t)] replaying forest-fire growth
+    (reference cpp/generators/DynamicForestFireGenerator.cpp:29-137):
+    per step one new node picks a uniform ambassador, burns through the
+    existing graph BFS-style — at each burned node a geometric number
+    (success prob ``p``; ``p*r`` along in-edges when directed) of
+    not-yet-visited neighbors catches fire — and the new node links to
+    every burned node. Sequential by construction (each burn depends on
+    the edges the previous steps created), so a driver-side fixture
+    generator like the other growth models; the replayed stream is the
+    distributed artifact."""
+    import random as _random
+    from collections import deque
+
+    rng = _random.Random(seed)
+    out_adj: dict[int, list[int]] = {0: []}
+    in_adj: dict[int, list[int]] = {0: []}
+    events = []
+    t = 0  # the initial isolated node is step 0 (firstCall branch)
+
+    def select(cands, prob):
+        picked = []
+        pool = list(cands)
+        while pool and rng.random() <= prob:
+            i = rng.randrange(len(pool))
+            picked.append(pool[i])
+            pool[i] = pool[-1]
+            pool.pop()
+        return picked
+
+    for _ in range(n_steps - 1 if n_steps > 0 else 0):
+        t += 1
+        v = len(out_adj)
+        a = rng.randrange(v)
+        visited = {a}
+        active = deque([a])
+        burned = [a]
+        while active:
+            w = active.popleft()
+            nbrs = [x for x in out_adj[w] if x not in visited]
+            chosen = select(nbrs, p)
+            if directed:
+                back = [x for x in in_adj[w]
+                        if x not in visited and x not in chosen]
+                chosen += select(back, p * r)
+            for x in chosen:
+                visited.add(x)
+                active.append(x)
+                burned.append(x)
+        out_adj[v] = []
+        in_adj[v] = []
+        for w in burned:
+            out_adj[v].append(w)
+            in_adj[w].append(v)
+            if not directed:
+                out_adj[w].append(v)
+                in_adj[v].append(w)
+            events.append(("EDGE_ADDITION", v, w, 1.0, t))
+    return events

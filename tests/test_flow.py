@@ -68,3 +68,32 @@ def test_dynamic_barabasi_albert_replay(spark):
     empty = spark.createDataFrame([], "src long, dst long, weight double")
     snap = {(r["src"], r["dst"]) for r in apply_events(empty, evdf).collect()}
     assert snap == set(barabasi_albert_edges(30, k=2, seed=11))
+
+
+def test_dynamic_forest_fire_growth(spark):
+    from networkit_spark.sources.generators import (
+        dynamic_forest_fire_events,
+    )
+    from networkit_spark.streaming.events import EVENT_SCHEMA, apply_events
+
+    ev = dynamic_forest_fire_events(40, p=0.4, seed=3)
+    assert ev == dynamic_forest_fire_events(40, p=0.4, seed=3)
+    # every new node attaches only to OLDER nodes, at least one each
+    by_node = {}
+    for _t, u, v, _w, _tick in ev:
+        assert v < u
+        by_node.setdefault(u, set()).add(v)
+    assert set(by_node) == set(range(1, 40))
+    evdf = spark.createDataFrame(ev, EVENT_SCHEMA)
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    snap = apply_events(empty, evdf)
+    assert snap.count() == len(ev)
+    # the undirected forest-fire graph is connected by construction
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.components import num_components
+    from networkit_spark.operators.components import connected_components
+    g = Graph(snap, directed=False)
+    assert num_components(connected_components(g)) == 1
+    # denser fire with higher p (same seed)
+    ev_hot = dynamic_forest_fire_events(40, p=0.7, seed=3)
+    assert len(ev_hot) > len(ev)
