@@ -133,3 +133,58 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
         .select(F.col("win.start").alias("window_start"), "event_type",
                 "n", "sum_value")
     )
+
+
+def stateful_vertex_degrees(events: DataFrame) -> DataFrame:
+    """(id, degree, strength): RUNNING per-vertex degree and weighted
+    strength over a GraphEvent stream — the engine's custom stateful
+    streaming operator, built on ``applyInPandasWithState`` (one
+    GroupState per vertex, Arrow-batched updates).
+
+    Semantics per event (both endpoints): EDGE_ADDITION degree+1 and
+    strength+w; EDGE_WEIGHT_INCREMENT strength+w; EDGE_REMOVAL
+    degree−1 (strength untouched — the event doesn't carry the removed
+    weight; reconstructing it needs per-EDGE state, which the snapshot
+    path `stream_edge_updates` covers). State survives micro-batches
+    AND query restarts via the checkpoint, so an availableNow query can
+    be re-run as new event files land and counters keep accumulating —
+    the Structured Streaming form of the reference's DynAlgorithm
+    update loop. Streaming-only (Spark rejects applyInPandasWithState
+    in batch queries — use degrees.out_degrees on a snapshot there)."""
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    deltas = (
+        events.select(F.explode(F.array("u", "v")).alias("id"),
+                      F.col("type"), F.col("w"))
+        .filter(F.col("id").isNotNull())
+        .select(
+            "id",
+            F.when(F.col("type") == "EDGE_ADDITION", F.lit(1))
+            .when(F.col("type") == "EDGE_REMOVAL", F.lit(-1))
+            .otherwise(F.lit(0)).alias("ddeg"),
+            F.when(F.col("type").isin("EDGE_ADDITION",
+                                      "EDGE_WEIGHT_INCREMENT"),
+                   F.coalesce(F.col("w"), F.lit(0.0)))
+            .otherwise(F.lit(0.0)).alias("dstr"),
+        )
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        deg, strength = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            deg += int(pdf["ddeg"].sum())
+            strength += float(pdf["dstr"].sum())
+        state.update((deg, strength))
+        yield pd.DataFrame({"id": [key[0]], "degree": [deg],
+                            "strength": [strength]})
+
+    return deltas.groupBy("id").applyInPandasWithState(
+        update,
+        outputStructType="id long, degree long, strength double",
+        stateStructType="degree long, strength double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

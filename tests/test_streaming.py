@@ -101,3 +101,52 @@ def test_windowed_event_counts_batch(spark):
     out = {(r["window_start"].hour, r["event_type"]): (r["n"], r["sum_value"])
            for r in windowed_event_counts(ev).collect()}
     assert out == {(10, "click"): (2, 3.0), (11, "view"): (1, 3.0)}
+
+
+def test_stateful_vertex_degrees_across_restarts(spark, tmp_path):
+    """applyInPandasWithState end-to-end: per-vertex counters persist
+    across micro-batches AND across query restarts (checkpointed
+    GroupState), accumulating as new event files land."""
+    from networkit_spark.streaming.events import stateful_vertex_degrees
+
+    events_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("EDGE_ADDITION", 0, 1, 2.0, 1), ("EDGE_ADDITION", 1, 2, 3.0, 2)],
+        EVENT_SCHEMA,
+    ).write.json(events_dir)
+
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        import pyspark.sql.functions as SF
+
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(events_dir)
+
+        def sink(batch, batch_id):
+            batch.withColumn("b", SF.lit(batch_id)).write.mode(
+                "append").parquet(out_dir)
+
+        q = (stateful_vertex_degrees(stream).writeStream
+             .foreachBatch(sink).outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = sorted(spark.read.parquet(out_dir).collect(),
+                      key=lambda r: r["b"])
+        return {r["id"]: (r["degree"], r["strength"]) for r in rows}
+
+    got = run_once()
+    assert got == {0: (1, 2.0), 1: (2, 5.0), 2: (1, 3.0)}
+
+    # second file: removal + weight increment; RESTARTED query resumes
+    # the per-vertex GroupState from the checkpoint
+    spark.createDataFrame(
+        [("EDGE_REMOVAL", 0, 1, 0.0, 3),
+         ("EDGE_WEIGHT_INCREMENT", 1, 2, 1.5, 4)],
+        EVENT_SCHEMA,
+    ).write.mode("append").json(events_dir)
+    got2 = run_once()
+    assert got2[0] == (0, 2.0)
+    assert got2[1] == (1, 6.5)
+    assert got2[2] == (1, 4.5)
