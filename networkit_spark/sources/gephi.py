@@ -152,3 +152,14 @@ class GephiStreamingClient:
         fh = getattr(self, "_fh", None)
         if fh is not None:
             fh.flush()
+
+
+def export_node_values_csv(values: DataFrame, path: str,
+                           column_name: str) -> None:
+    """Write per-node values as a Gephi data-laboratory CSV with an
+    ``id,<column_name>`` header (gephi/csv.py:exportNodeValues) —
+    distributed csv writer, one header per part file."""
+    values.select(
+        F.col(values.columns[0]).cast("string").alias("id"),
+        F.col(values.columns[1]).cast("string").alias(column_name),
+    ).write.mode("overwrite").option("header", True).csv(path)

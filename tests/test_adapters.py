@@ -96,3 +96,16 @@ def test_profile_battery_karate(spark, karate):
     assert p["avg_degree"] == pytest.approx(2 * 78 / 34)
     assert p["triangles"] == 45
     assert p["density"] == pytest.approx(78 / (34 * 33 / 2))
+
+
+def test_gephi_csv_export(spark, tmp_path):
+    from networkit_spark.sources.gephi import export_node_values_csv
+
+    vals = spark.createDataFrame([(0, 0.5), (1, 1.25)],
+                                 "id long, score double")
+    p = str(tmp_path / "vals")
+    export_node_values_csv(vals, p, "pagerank")
+    back = spark.read.option("header", True).csv(p)
+    assert back.columns == ["id", "pagerank"]
+    got = {r["id"]: r["pagerank"] for r in back.collect()}
+    assert got == {"0": "0.5", "1": "1.25"}
