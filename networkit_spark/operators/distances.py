@@ -253,3 +253,17 @@ def reverse_bfs(g: Graph, source: int, max_depth: int | None = None,
     undirected graph this equals bfs()."""
     return bfs(g.transpose() if g.directed else g, source,
                max_depth=max_depth, runner=runner)
+
+
+def bfs_sample(g: Graph, source: int, k: int = 50) -> Graph:
+    """Node-induced subgraph of the k nodes closest to ``source``
+    (reference sampling.py:bfsSample). The reference keeps the first k
+    in DISCOVERY order — nondeterministic under parallel edge
+    iteration; this version breaks the boundary level by id, so the
+    sample is deterministic and the BFS is the distributed kernel."""
+    d = bfs(g, source).filter(F.col("dist").isNotNull())
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
+
+    take = ordered_dense_ids(d.select("id", "dist"), ["dist", "id"],
+                             out_col="k").filter(F.col("k") < k)
+    return g.subgraph_from_nodes(take.select("id"))

@@ -165,3 +165,24 @@ def profile(g: Graph) -> dict:
         "triangles": global_triangle_count(g),
         "global_clustering": global_clustering_coefficient(g),
     }
+
+
+def gini(values: DataFrame, col: str | None = None) -> float:
+    """Gini coefficient of a value column (reference stats.py exposes
+    `gini` from the C++ aux): G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over
+    ascending-sorted values. The sort rank comes from the two-pass
+    range-partitioned `ordered_dense_ids` (docs/PLANS.md rule 3 — no
+    single-partition window), so the whole computation is two
+    aggregations at any scale."""
+    col = col or values.columns[-1]
+    v = values.select(F.col(col).cast("double").alias("x"),
+                      F.monotonically_increasing_id().alias("_tie"))
+    ranked = ordered_dense_ids(v, ["x", "_tie"], out_col="i")
+    agg = ranked.agg(
+        F.sum((F.col("i") + 1) * F.col("x")).alias("iwx"),
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    n, sx = int(agg["n"]), float(agg["sx"])
+    if n == 0 or sx == 0:
+        return 0.0
+    return 2.0 * float(agg["iwx"]) / (n * sx) - (n + 1.0) / n

@@ -1,0 +1,120 @@
+"""Distributed linear solvers over relational sparse matrices.
+
+Reference: /root/reference/networkit/cpp/numerics/ — ConjugateGradient.h
+(CG over CSRMatrix, optionally preconditioned), GaussSeidelRelaxation.h,
+and the LAMG multigrid hierarchy. CG and Jacobi-smoothed iterations map
+directly onto the engine's SpMV (operators/semiring.spmv): each
+iteration is two keyed aggregations (one SpMV + dot products) and two
+vector updates — vertex-sized shuffles, driver holds only scalars.
+LAMG's hierarchy construction is declared out of scope (COVERAGE.md);
+CG with the Jacobi preconditioner is the general-purpose solve the
+reference exposes through it for Laplacian systems (commute time,
+MaxentStress).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.scratch import Scratch
+from networkit_spark.operators.semiring import spmv
+
+
+def laplacian_matrix(g: Graph) -> DataFrame:
+    """(row, col, val): the graph Laplacian L = D − W of the undirected
+    view, in relational triplet form (CSRMatrix::laplacianMatrix)."""
+    e = g.edges.filter("src != dst").select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+        F.col("weight").cast("double").alias("w"),
+    ).groupBy("a", "b").agg(F.max("w").alias("w"))
+    off = e.select(F.col("a").alias("row"), F.col("b").alias("col"),
+                   (-F.col("w")).alias("val")).union(
+        e.select(F.col("b").alias("row"), F.col("a").alias("col"),
+                 (-F.col("w")).alias("val")))
+    deg = off.groupBy(F.col("row")).agg((-F.sum("val")).alias("val")) \
+        .select("row", F.col("row").alias("col"), "val")
+    return off.union(deg)
+
+
+def _dot(a: DataFrame, b: DataFrame) -> float:
+    j = a.join(b.withColumnRenamed("val", "v2"), "id")
+    r = j.agg(F.sum(F.col("val") * F.col("v2"))).collect()[0][0]
+    return float(r or 0.0)
+
+
+def conjugate_gradient(matrix: DataFrame, b: DataFrame,
+                       tol: float = 1e-9, max_iter: int = 200,
+                       precond: str | None = "jacobi") -> DataFrame:
+    """(id, val): solve A x = b by (preconditioned) conjugate gradient
+    (numerics/ConjugateGradient.h:34-80 — same update sequence; the
+    DiagonalPreconditioner is ``precond="jacobi"``). ``matrix`` is SPD
+    in (row, col, val) triplet form, ``b`` is (id, val).
+
+    Distributed shape: per iteration ONE SpMV (join + keyed agg) plus
+    two scalar dot products — residual/direction vectors are
+    vertex-sized DataFrames cut through the shared scratch, the driver
+    carries only α/β/ρ scalars, exactly the CSRMatrix loop with the
+    vector arithmetic made relational."""
+    spark = matrix.sparkSession
+    with Scratch(spark, "cg") as sc:
+        # coalesce duplicate triplets up front (triplet semantics: they
+        # add) — keeps the Jacobi diagonal one row per id
+        A = sc.cut(matrix.select("row", "col",
+                                 F.col("val").cast("double").alias("val"))
+                   .groupBy("row", "col").agg(F.sum("val").alias("val")))
+        if precond == "jacobi":
+            dinv = A.filter(F.col("row") == F.col("col")).select(
+                F.col("row").alias("id"),
+                (1.0 / F.col("val")).alias("dinv"))
+        elif precond is None:
+            dinv = None
+        else:
+            raise ValueError(f"unknown preconditioner {precond!r}")
+
+        def apply_m(df: DataFrame) -> DataFrame:
+            if dinv is None:
+                return df
+            return df.join(dinv, "id").select(
+                "id", (F.col("val") * F.col("dinv")).alias("val"))
+
+        bb = sc.cut(b.select("id", F.col("val").cast("double").alias("val")))
+        x = bb.select("id", F.lit(0.0).alias("val"))
+        r = bb
+        z = apply_m(r)
+        p = sc.cut(z)
+        rho = _dot(r, z)
+        bnorm = _dot(bb, bb) ** 0.5 or 1.0
+        for _ in range(max_iter):
+            Ap = spmv(A, p.withColumnRenamed("val", "val")
+                      .select(F.col("id"), F.col("val")))
+            # spmv aggregates by col; rows absent from p's support are 0
+            Ap = p.select("id").join(Ap, "id", "left").select(
+                "id", F.coalesce("val", F.lit(0.0)).alias("val"))
+            denom = _dot(p, Ap)
+            if denom == 0.0:
+                break
+            alpha = rho / denom
+            x = x.join(p.withColumnRenamed("val", "pv"), "id").select(
+                "id", (F.col("val") + alpha * F.col("pv")).alias("val"))
+            r = r.join(Ap.withColumnRenamed("val", "apv"), "id").select(
+                "id", (F.col("val") - alpha * F.col("apv")).alias("val"))
+            x, r = sc.cut(x), sc.cut(r)
+            res = _dot(r, r) ** 0.5
+            if res / bnorm < tol:
+                break
+            z = apply_m(r)
+            rho_new = _dot(r, z)
+            beta = rho_new / rho
+            rho = rho_new
+            p = sc.cut(z.join(p.withColumnRenamed("val", "pv"), "id")
+                       .select("id", (F.col("val")
+                                      + beta * F.col("pv")).alias("val")))
+        else:
+            raise RuntimeError(
+                f"conjugate_gradient: no convergence in {max_iter} "
+                f"iterations (residual {res / bnorm:.2e})")
+        out = x.persist()
+        out.count()
+    return out

@@ -1,0 +1,101 @@
+"""Numerics (CG solver), spectral coloring, gini, BFS sampling."""
+
+import numpy as np
+import pytest
+
+from networkit_spark.graph import Graph
+
+
+def test_conjugate_gradient_laplacian_system(spark, karate):
+    """CG on (L + εI) x = b vs numpy.linalg.solve."""
+    from networkit_spark.operators.numerics import (
+        conjugate_gradient, laplacian_matrix,
+    )
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    L = laplacian_matrix(g)
+    eps = 0.1
+    A = L.union(
+        spark.createDataFrame([(i, i, eps) for i in range(n)],
+                              "row long, col long, val double"))
+    rng = np.random.default_rng(5)
+    bvec = rng.normal(size=n)
+    b = spark.createDataFrame(
+        [(i, float(bvec[i])) for i in range(n)], "id long, val double")
+    got = conjugate_gradient(A, b, tol=1e-10, max_iter=300)
+    got_x = np.zeros(n)
+    for r in got.collect():
+        got_x[int(r["id"])] = r["val"]
+    # numpy oracle
+    Ld = np.zeros((n, n))
+    for u, v in edges:
+        if u != v:
+            Ld[u, v] -= 1.0
+            Ld[v, u] -= 1.0
+    np.fill_diagonal(Ld, -Ld.sum(axis=1))
+    want = np.linalg.solve(Ld + eps * np.eye(n), bvec)
+    assert np.allclose(got_x, want, atol=1e-6)
+
+
+def test_conjugate_gradient_no_precond(spark):
+    from networkit_spark.operators.numerics import conjugate_gradient
+
+    A = spark.createDataFrame(
+        [(0, 0, 4.0), (0, 1, 1.0), (1, 0, 1.0), (1, 1, 3.0)],
+        "row long, col long, val double")
+    b = spark.createDataFrame([(0, 1.0), (1, 2.0)], "id long, val double")
+    x = {r["id"]: r["val"]
+         for r in conjugate_gradient(A, b, precond=None).collect()}
+    want = np.linalg.solve(np.array([[4.0, 1.0], [1.0, 3.0]]),
+                           np.array([1.0, 2.0]))
+    assert x[0] == pytest.approx(want[0], abs=1e-8)
+    assert x[1] == pytest.approx(want[1], abs=1e-8)
+
+
+def test_spectral_coloring_is_proper(spark, karate):
+    from networkit_spark.operators.coloring import spectral_coloring
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    cols = {r["id"]: r["color"] for r in spectral_coloring(g).collect()}
+    assert set(cols) == set(range(n))
+    for u, v in edges:
+        if u != v:
+            assert cols[u] != cols[v], (u, v)
+    # deterministic
+    cols2 = {r["id"]: r["color"] for r in spectral_coloring(g).collect()}
+    assert cols == cols2
+
+
+def test_gini(spark):
+    from networkit_spark.operators.graph_tools import gini
+
+    vals = [1.0, 1.0, 1.0, 1.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    assert gini(df) == pytest.approx(0.0, abs=1e-12)
+    rng = np.random.default_rng(3)
+    vals = rng.exponential(size=60)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    xs = np.sort(vals)
+    n = len(xs)
+    want = 2 * np.sum((np.arange(1, n + 1)) * xs) / (n * xs.sum()) \
+        - (n + 1) / n
+    assert gini(df) == pytest.approx(float(want), abs=1e-9)
+
+
+def test_bfs_sample(spark, karate):
+    from networkit_spark.operators.distances import bfs_sample
+    from networkit_spark.operators.components import (
+        connected_components, num_components,
+    )
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    sub = bfs_sample(g, source=0, k=10)
+    nodes = {r["id"] for r in sub.vertices.collect()}
+    assert len(nodes) == 10 and 0 in nodes
+    assert num_components(connected_components(sub)) == 1
+    # deterministic
+    nodes2 = {r["id"] for r in bfs_sample(g, 0, 10).vertices.collect()}
+    assert nodes == nodes2
