@@ -99,3 +99,31 @@ def test_bfs_sample(spark, karate):
     # deterministic
     nodes2 = {r["id"] for r in bfs_sample(g, 0, 10).vertices.collect()}
     assert nodes == nodes2
+
+
+def test_spectral_partitioner_karate(spark, karate):
+    from networkit_spark.operators.partitioning import (
+        compute_imbalance, spectral_partitioner,
+    )
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    p2 = spectral_partitioner(g, 2)
+    rows = {r["id"]: r["subset"] for r in p2.collect()}
+    assert set(rows) == set(range(n))
+    sizes = {}
+    for s in rows.values():
+        sizes[s] = sizes.get(s, 0) + 1
+    assert len(sizes) == 2 and min(sizes.values()) >= 10  # balanced
+    # the Fiedler split of karate tracks the club fission: instructor
+    # (0) and president (33) land on opposite sides
+    assert rows[0] != rows[33]
+    assert compute_imbalance(p2, n) == pytest.approx(
+        max(sizes.values()) / float(np.ceil(n / 2)), abs=1e-12)
+    # count=4: proper partition into 4 non-empty subsets
+    p4 = {r["id"]: r["subset"] for r in
+          spectral_partitioner(g, 4).collect()}
+    assert set(p4) == set(range(n)) and len(set(p4.values())) == 4
+    # determinism
+    assert rows == {r["id"]: r["subset"] for r in
+                    spectral_partitioner(g, 2).collect()}
