@@ -109,3 +109,33 @@ def test_gephi_csv_export(spark, tmp_path):
     assert back.columns == ["id", "pagerank"]
     got = {r["id"]: r["pagerank"] for r in back.collect()}
     assert got == {"0": "0.5", "1": "1.25"}
+
+
+def test_plot_data_mirrors(spark, karate):
+    """plot.py mirrors: the data halves, exact on karate."""
+    from networkit_spark import plots
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False, n=n)
+    dd = {r["degree"]: r["count"]
+          for r in plots.degree_distribution(g).collect()}
+    assert sum(dd.values()) == n
+    assert sum(d * c for d, c in dd.items()) == 2 * 78
+    assert dd[17] == 1  # node 33
+    ccs = {r["size"]: r["count"]
+           for r in plots.connected_components_sizes(g).collect()}
+    assert ccs == {n: 1}
+    core = {r["core"]: r["count"]
+            for r in plots.core_decomposition_sequence(g).collect()}
+    assert sum(core.values()) == n and max(core) == 4  # karate degeneracy
+    cpd = {r["degree"]: r["avg_cc"]
+           for r in plots.clustering_per_degree(g).collect()}
+    assert set(cpd) == set(dd)
+    assert cpd[1] == pytest.approx(0.0)  # degree-1 nodes have cc 0
+    hp = {r["h"]: r["fraction"] for r in plots.hop_plot_data(g, 6).collect()}
+    assert hp[max(hp)] == pytest.approx(1.0)
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="matplotlib"):
+            plots.render(plots.degree_distribution(g), "degree", "count")
