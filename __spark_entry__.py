@@ -741,6 +741,22 @@ def q_prefix_jaccard_pps1(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_seir_pps1_p1(spark, sf_dir):
+    """SEIR census on pp(p_size=1) with trans_p=1, e_time=0, i_time=1,
+    zero = min part id (EpidemicSimulationSEIR.cpp semantics). At p=1
+    the trajectory is the BFS wavefront — a node at distance d is
+    E at tick 2d-2, I at 2d-1, R from 2d — so the oracle derives the
+    full census from the unrolled BFS distance table."""
+    from networkit_spark.operators.epidemics import (
+        epidemic_simulation_seir,
+    )
+    g = TG.graph_pp_size1(spark, sf_dir)
+    zero = int(g.vertices.agg(F.min("id")).collect()[0][0])
+    return epidemic_simulation_seir(
+        g, zero=zero, t_max=22, trans_p=1.0, e_time=0, i_time=1,
+        seed=0).select("t", "state", F.col("count").alias("cnt"))
+
+
 def q_pivot_mds_pps1(spark, sf_dir):
     """PivotMDS 2-D layout of pp(p_size=1) (PivotMDS.cpp:23-106).
     Registered WITHOUT an oracle (rows-only driver check): the k×k
@@ -909,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "umsf_pps1w": q_umsf_pps1w,
         "alg_triangles_pp": q_alg_triangles_pp,
         "prefix_jaccard_pps1": q_prefix_jaccard_pps1,
+        "seir_pps1_p1": q_seir_pps1_p1,
         "pivot_mds_pps1": q_pivot_mds_pps1,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,

@@ -1831,6 +1831,44 @@ SELECT e.src AS lo, e.dst AS hi,
 FROM pe e LEFT JOIN best b ON b.lo = e.src AND b.hi = e.dst
 """
 
+    # -- SEIR census at p=1: derived from the BFS wavefront -----------
+    o["seir_pps1_p1"] = f"""
+WITH {PP},
+{_dist_unrolled(12)},
+zero AS (SELECT MIN(id) AS z FROM pv),
+dz AS (
+  SELECT v, d FROM dist
+  WHERE s = (SELECT z FROM zero) AND d >= 1
+),
+ticks AS (SELECT CAST(range AS BIGINT) AS t FROM range(22)),
+node_states AS (
+  SELECT t.t, CASE WHEN t.t = 0 THEN 2 ELSE 3 END AS state
+  FROM ticks t
+  UNION ALL
+  SELECT t.t,
+         CASE WHEN t.t < 2 * dz.d - 2 THEN 0
+              WHEN t.t = 2 * dz.d - 2 THEN 1
+              WHEN t.t = 2 * dz.d - 1 THEN 2
+              ELSE 3 END AS state
+  FROM ticks t CROSS JOIN dz
+  UNION ALL
+  SELECT t.t, 0 AS state
+  FROM ticks t CROSS JOIN (
+    SELECT p.id FROM pv p
+    WHERE p.id NOT IN (SELECT v FROM dz)
+      AND p.id <> (SELECT z FROM zero)) u
+),
+grid AS (
+  SELECT t.t, s.state
+  FROM ticks t CROSS JOIN (
+    SELECT CAST(range AS BIGINT) AS state FROM range(4)) s
+)
+SELECT g.t, g.state, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+FROM grid g LEFT JOIN (
+  SELECT t, state, COUNT(*) AS cnt FROM node_states GROUP BY 1, 2
+) c ON c.t = g.t AND c.state = g.state
+"""
+
     # -- algebraic layer: diag(A^3)/2 per node (operators/algebraic.py) ---
     o["alg_triangles_pp"] = f"""
 WITH {PP},
