@@ -479,3 +479,32 @@ def prefix_jaccard_scores(g: Graph,
     best = jac.groupBy("lo", "hi").agg(F.max("j").alias("score"))
     return e.join(best, ["lo", "hi"], "left").select(
         "lo", "hi", F.coalesce("score", F.lit(0.0)).alias("score"))
+
+
+def modularity_edge_scores(g: Graph) -> DataFrame:
+    """(lo, hi, score): per-edge modularity gain
+    score(u,v) = w(u,v)/W − (wdeg(u)/2W)·(wdeg(v)/2W)
+    (scoring/ModularityScoring.h:84-93) — one broadcast-join column
+    expression over the weighted-degree table."""
+    from networkit_spark.operators.degrees import weighted_out_degrees
+
+    W = float(g.edges.filter("src != dst").agg(
+        F.sum("weight")).collect()[0][0] or 0.0)
+    if W == 0.0:
+        raise ValueError("modularity_edge_scores: total edge weight is 0")
+    wdeg = weighted_out_degrees(g)
+    e = g.edges.filter("src != dst").select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        F.col("weight").cast("double").alias("w"),
+    ).groupBy("lo", "hi").agg(F.max("w").alias("w"))
+    return (
+        e.join(F.broadcast(wdeg.withColumnRenamed("id", "lo")
+                           .withColumnRenamed("wdeg", "d1")), "lo")
+        .join(F.broadcast(wdeg.withColumnRenamed("id", "hi")
+                          .withColumnRenamed("wdeg", "d2")), "hi")
+        .select("lo", "hi",
+                (F.col("w") / W
+                 - (F.col("d1") / (2 * W)) * (F.col("d2") / (2 * W)))
+                .alias("score"))
+    )

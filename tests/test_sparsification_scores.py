@@ -254,3 +254,23 @@ def test_prefix_jaccard_matches_reference_loop(spark, karate):
     assert len(got) == 78
     for (lo, hi), s in got.items():
         assert s == pytest.approx(oracle(lo, hi), abs=1e-12), (lo, hi)
+
+
+def test_modularity_edge_scores(spark):
+    """ModularityScoring.h:84-93 exact formula on a weighted fixture."""
+    from networkit_spark.operators.sparsification import (
+        modularity_edge_scores,
+    )
+
+    edges = [(0, 1, 2.0), (1, 2, 3.0), (0, 2, 1.0), (2, 3, 4.0)]
+    g = Graph.from_rows(spark, edges, directed=False, n=4)
+    W = sum(w for _, _, w in edges)
+    wdeg = defaultdict(float)
+    for u, v, w in edges:
+        wdeg[u] += w
+        wdeg[v] += w
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in modularity_edge_scores(g).collect()}
+    for u, v, w in edges:
+        want = w / W - (wdeg[u] / (2 * W)) * (wdeg[v] / (2 * W))
+        assert got[(min(u, v), max(u, v))] == pytest.approx(want, abs=1e-12)
