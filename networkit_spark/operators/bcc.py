@@ -84,9 +84,10 @@ def biconnected_components(g: Graph) -> DataFrame:
     tree_edges = parent.filter(F.col("depth") > 0).select(
         F.least("id", "parent").alias("src"),
         F.greatest("id", "parent").alias("dst"))
+    # walk state / cover rows are keyed by the natural (esrc, edst) pair —
+    # a hash key (xxhash64) would silently merge two cycles on a collision
     nontree = sc.cut(
-        e.join(tree_edges, ["src", "dst"], "left_anti")
-        .withColumn("eid", F.xxhash64("src", "dst")), "nontree")
+        e.join(tree_edges, ["src", "dst"], "left_anti"), "nontree")
 
     state, m = sc.cut_observed(
         nontree
@@ -94,7 +95,8 @@ def biconnected_components(g: Graph) -> DataFrame:
                             F.col("depth").alias("da")), "src")
         .join(parent.select(F.col("id").alias("dst"),
                             F.col("depth").alias("db")), "dst")
-        .select("eid", F.col("src").alias("a"), "da",
+        .select(F.col("src").alias("esrc"), F.col("dst").alias("edst"),
+                F.col("src").alias("a"), "da",
                 F.col("dst").alias("b"), "db"),
         [count_rows], name="walk0")
     covers = None
@@ -110,7 +112,7 @@ def biconnected_components(g: Graph) -> DataFrame:
             .join(parent.select(F.col("id").alias("b"),
                                 F.col("parent").alias("pb")), "b")
             .select(
-                "eid",
+                "esrc", "edst",
                 F.when(step_a, F.col("pa")).otherwise(F.col("a")).alias("na"),
                 F.when(step_a, F.col("da") - 1).otherwise(F.col("da")).alias("nda"),
                 F.when(step_b, F.col("pb")).otherwise(F.col("b")).alias("nb"),
@@ -120,15 +122,17 @@ def biconnected_components(g: Graph) -> DataFrame:
             )
         )
         stepped = sc.cut(stepped, f"step{rnd}")
-        cov = (stepped.select("eid", F.col("cov_a").alias("child"))
-               .union(stepped.select("eid", F.col("cov_b").alias("child")))
+        cov = (stepped.select("esrc", "edst", F.col("cov_a").alias("child"))
+               .union(stepped.select("esrc", "edst",
+                                     F.col("cov_b").alias("child")))
                .filter(F.col("child").isNotNull()))
         covers = cov if covers is None else covers.union(cov)
         if rnd % 6 == 0:
             covers = sc.cut(covers, f"cov{rnd}")
         state, m = sc.cut_observed(
             stepped.filter(F.col("na") != F.col("nb"))
-            .select("eid", F.col("na").alias("a"), F.col("nda").alias("da"),
+            .select("esrc", "edst",
+                    F.col("na").alias("a"), F.col("nda").alias("da"),
                     F.col("nb").alias("b"), F.col("ndb").alias("db")),
             [count_rows], name=f"walk{rnd}")
 
@@ -138,7 +142,7 @@ def biconnected_components(g: Graph) -> DataFrame:
     off = max_id + 1
     from networkit_spark.operators.graph_tools import ordered_dense_ids
     nt_ids = sc.cut(
-        ordered_dense_ids(nontree.select("eid", "src", "dst"),
+        ordered_dense_ids(nontree.select("src", "dst"),
                           ["src", "dst"], "ntidx")
         .withColumn("aux", F.col("ntidx") + off), "ntids")
 
@@ -146,7 +150,9 @@ def biconnected_components(g: Graph) -> DataFrame:
         aux_edges = spark.createDataFrame([], "src long, dst long")
     else:
         aux_edges = (
-            covers.join(nt_ids.select("eid", "aux"), "eid")
+            covers.join(nt_ids.select(F.col("src").alias("esrc"),
+                                      F.col("dst").alias("edst"), "aux"),
+                        ["esrc", "edst"])
             .select(F.col("child").alias("src"), F.col("aux").alias("dst"))
             .distinct()
         )

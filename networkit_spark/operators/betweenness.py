@@ -47,16 +47,43 @@ def _sym_edges(g: Graph) -> DataFrame:
 def _brandes(g: Graph, sources: DataFrame, sc: Scratch,
              max_depth: int = 1 << 20):
     """Returns (levels, sym): levels[l] = (s, v, sigma) stratum DataFrames
-    of the multi-source shortest-path DAG (each a parquet-cut scan)."""
+    of the multi-source shortest-path DAG (each a parquet-cut scan).
+
+    Visited-set scan discipline (not O(D²)): on UNDIRECTED graphs BFS
+    distances of adjacent vertices differ by at most 1, so a message
+    from the depth-l frontier can only hit vertices at depth l−1, l, or
+    l+1 — the dedup anti-join reads just the last TWO strata, O(1)
+    scans per level. On DIRECTED graphs (an edge may point arbitrarily
+    far back) a cumulative visited set is kept, re-cut every 8 levels so
+    each level reads one cumulative cut + ≤ 8 tail strata instead of
+    re-unioning all l previous strata."""
     sym = _sym_edges(g).repartition("src").persist()
     frontier = sc.cut(sources.select(F.col("s"), F.col("s").alias("v"),
                                      F.lit(1.0).alias("sigma")), "lv0")
     levels = [frontier]
     depth = 0
+    vis_base = None   # directed only: cumulative cut of older strata
+    vis_tail = [frontier]  # strata newer than vis_base
     while depth < max_depth:
-        visited = levels[0].select("s", "v")
-        for lv in levels[1:]:
-            visited = visited.union(lv.select("s", "v"))
+        if not g.directed:
+            recent = levels[-2:]
+            visited = recent[0].select("s", "v")
+            for lv in recent[1:]:
+                visited = visited.union(lv.select("s", "v"))
+        else:
+            if len(vis_tail) > 8:
+                merged = vis_base.select("s", "v") if vis_base is not None \
+                    else None
+                for lv in vis_tail:
+                    part = lv.select("s", "v")
+                    merged = part if merged is None else merged.union(part)
+                vis_base = sc.cut(merged, f"vis{depth}")
+                vis_tail = []
+            visited = vis_base.select("s", "v") if vis_base is not None \
+                else None
+            for lv in vis_tail:
+                part = lv.select("s", "v")
+                visited = part if visited is None else visited.union(part)
         msgs = (
             levels[-1].join(sym.withColumnRenamed("src", "v"), "v")
             .select("s", F.col("dst").alias("v"), "sigma")
@@ -69,6 +96,7 @@ def _brandes(g: Graph, sources: DataFrame, sc: Scratch,
         if int(m["rows"] or 0) == 0:
             break
         levels.append(nxt)
+        vis_tail.append(nxt)
         depth += 1
     return levels, sym
 
@@ -223,7 +251,9 @@ def approx_betweenness(g: Graph, epsilon: float = 0.1, delta: float = 0.1,
 
         r = ⌈(c/ε²)·(⌊log2(vd−2)⌋ + 1 − ln δ)⌉
 
-    vertex pairs (vd = estimated diameter, c = universal constant),
+    vertex pairs (vd = vertex-diameter UPPER bound via
+    estimatedVertexDiameterPedantic — the RK bound needs an upper bound,
+    not the double-sweep lower bound; c = universal constant),
     picks ONE shortest path per pair uniformly at random (backward walk
     choosing each predecessor z of t with probability σ_z/σ_t), and
     adds 1/r to every interior vertex. Scores estimate bc(v)/(n·(n−1))
@@ -247,8 +277,9 @@ def approx_betweenness(g: Graph, epsilon: float = 0.1, delta: float = 0.1,
     if n < 3:
         return zeros
 
-    from networkit_spark.operators.closeness import diameter as _diam
-    vd = _diam(g, algo="estimate", seed=seed)
+    from networkit_spark.operators.closeness import (
+        estimated_vertex_diameter_pedantic)
+    vd = estimated_vertex_diameter_pedantic(g)
     if vd <= 2:
         return zeros
     r = int(math.ceil((universal_constant / (epsilon * epsilon))

@@ -214,6 +214,197 @@ def diameter(g: Graph, algo: str = "exact", seed: int = 42) -> int:
     return int(d or 0)
 
 
+def estimated_vertex_diameter_pedantic(g: Graph) -> int:
+    """Upper bound on the VERTEX diameter (#nodes on a longest shortest
+    path), reference Diameter.cpp estimatedVertexDiameterPedantic:
+    one BFS per connected component from an arbitrary root; any s-t
+    shortest path has length ≤ dist(root,s) + dist(root,t) ≤
+    maxDist + maxDist2, so vd ≤ maxDist + maxDist2 + 1. On weighted
+    graphs the reference returns the largest component size.
+
+    Distributed shape: ONE connected-components run + ONE batched
+    multi-source BFS (all component roots simultaneously) + a top-2
+    window over the distance rows."""
+    from networkit_spark.operators.components import connected_components
+    from pyspark.sql import Window
+
+    labels = connected_components(g)
+    if g.weighted:
+        sizes = labels.groupBy("component").agg(
+            F.count(F.lit(1)).alias("n")).agg(F.max("n")).collect()[0][0]
+        return int(sizes or 0)
+    roots = labels.select(F.col("component").alias("s")).distinct()
+    rows, sc = _dist_rows(g, roots)
+    if rows is None:
+        sc.cleanup()
+        return 1 if g.vertices.limit(1).count() else 0
+    # include the root itself at d=0 so 1- and 2-node components count
+    rows = rows.select("s", "d").union(
+        roots.select("s", F.lit(0).cast("long").alias("d")))
+    w2 = Window.partitionBy("s").orderBy(F.desc("d"))
+    top2 = (rows.withColumn("rn", F.row_number().over(w2))
+            .filter("rn <= 2")
+            .groupBy("s")
+            .agg(F.max("d").alias("d1"),
+                 (F.sum("d") - F.max("d")).alias("d2")))
+    vd = top2.agg(F.max(F.col("d1") + F.col("d2"))).collect()[0][0]
+    sc.cleanup()
+    return int(vd or 0) + 1
+
+
+def estimated_vertex_diameter(g: Graph, n_samples: int,
+                              seed: int = 42) -> int:
+    """Sampled vertex-diameter estimate (Diameter.cpp
+    estimatedVertexDiameter): BFS from ``n_samples`` hash-sampled
+    roots, vd = max over roots of (maxDist + maxDist2 + 1) — all
+    sampled BFS run in ONE batched multi-source pass."""
+    from pyspark.sql import Window
+
+    n = g.vertices.count()
+    if n == 0:
+        return 0
+    k = min(n_samples, n)
+    sources = (g.vertices.select(F.col("id").alias("s"))
+               .orderBy(F.xxhash64("id", F.lit(seed))).limit(k))
+    rows, sc = _dist_rows(g, sources)
+    if rows is None:
+        sc.cleanup()
+        return 1
+    rows = rows.select("s", "d").union(
+        sources.select("s", F.lit(0).cast("long").alias("d")))
+    w2 = Window.partitionBy("s").orderBy(F.desc("d"))
+    top2 = (rows.withColumn("rn", F.row_number().over(w2))
+            .filter("rn <= 2")
+            .groupBy("s")
+            .agg(F.max("d").alias("d1"),
+                 (F.sum("d") - F.max("d")).alias("d2")))
+    vd = top2.agg(F.max(F.col("d1") + F.col("d2"))).collect()[0][0]
+    sc.cleanup()
+    return int(vd or 0) + 1
+
+
+def diameter_range(g: Graph, error: float = 0.0,
+                   seed: int = 42) -> tuple[int, int]:
+    """[lb, ub] diameter bounds by the SumSweep-style bound-tightening of
+    Diameter.cpp estimatedDiameterRange (Borassi et al., "Fast diameter
+    and radius BFS-based computation…"): per-node eccentricity bounds
+    refined by repeated single-BFS-per-component sweeps until
+    ub ≤ lb + error·lb. With ``error=0`` this returns the EXACT diameter
+    (lb == ub) in typically a handful of BFS rounds — the scalable exact
+    path (the all-pairs mode is quadratic).
+
+    Distributed shape: per round ONE batched multi-source BFS (one root
+    per component, all simultaneously) + per-node bound updates as pure
+    column expressions over a vertex-sized state cut; the driver holds
+    only (lb, ub) scalars. Root selection is the reference's even/odd
+    alternation (max-upper-bound node / central-but-far node).
+
+    Undirected unweighted only (reference throws likewise)."""
+    if g.directed or g.weighted:
+        raise ValueError("estimatedDiameterRange: directed or weighted "
+                         "graphs are not supported (Diameter.cpp:84)")
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.degrees import out_degrees
+
+    spark = g.edges.sparkSession
+    n = g.vertices.count()
+    if n == 0:
+        return (0, 0)
+    sc = Scratch(spark, "diamr")
+    labels = sc.cut(connected_components(g), "cc")  # (id, component)
+    deg = out_degrees(g).select("id", F.col("degree").alias("deg"))
+    # state: per-node eccentricity bounds + last-BFS distance
+    state = sc.cut(
+        labels.join(deg, "id", "left")
+        .select("id", F.col("component").alias("comp"),
+                F.coalesce("deg", F.lit(0)).alias("deg"),
+                F.lit(0).cast("long").alias("lb"),
+                F.lit(n).cast("long").alias("ub"),
+                F.lit(0).cast("long").alias("dist")), "st0")
+
+    def run_sweep(state, roots, rnd):
+        """One multi-source BFS from ``roots`` (id, comp); returns the
+        updated state (same schema, dist = distances from this sweep)."""
+        rows, bsc = _dist_rows(g, roots.select(F.col("id").alias("s")))
+        src_comp = roots.select(F.col("id").alias("s"),
+                                F.col("comp").alias("comp"))
+        if rows is None:
+            dists = src_comp.select("comp", F.col("s").alias("id"),
+                                    F.lit(0).cast("long").alias("d"))
+        else:
+            dists = rows.join(src_comp, "s").select(
+                "comp", F.col("v").alias("id"), "d").union(
+                src_comp.select("comp", F.col("s").alias("id"),
+                                F.lit(0).cast("long").alias("d")))
+        percomp = (dists.join(deg.withColumnRenamed("deg", "dg"), "id")
+                   .groupBy("comp")
+                   .agg(F.max("d").alias("ecc"),
+                        F.min(F.when(F.col("dg") > 1, F.col("d")))
+                        .alias("dist_first")))
+        new = (
+            state.drop("dist", "dist_first")
+            .join(dists.select("id", "d"), "id", "left")
+            .withColumn("dist", F.coalesce("d", F.lit(0))).drop("d")
+            .join(percomp, "comp", "left")
+            .withColumn("ecc", F.coalesce("ecc", F.lit(0)))
+            .withColumn("dist_first",
+                        F.coalesce("dist_first", F.lit(0)))
+            .withColumn("eccval",
+                        F.greatest(F.col("dist"),
+                                   F.col("ecc") - F.col("dist")))
+            .select(
+                "id", "comp", "deg",
+                F.greatest("lb", "eccval").alias("lb"),
+                F.when(F.col("dist") <= F.col("dist_first"),
+                       F.col("eccval"))
+                .otherwise(F.least(
+                    F.col("ub"),
+                    F.col("dist") + F.col("ecc")
+                    - 2 * F.col("dist_first"))).alias("ub"),
+                "dist",
+                F.col("dist_first").alias("dist_first"))
+        )
+        out, m = sc.cut_observed(
+            new, [F.max("lb").alias("lb"), F.max("ub").alias("ub")],
+            keep=["id", "comp", "deg", "lb", "ub", "dist", "dist_first"],
+            name=f"st{rnd}")
+        bsc.cleanup()
+        return out, int(m["lb"] or 0), int(m["ub"] or 0)
+
+    # round 0: max-degree node per component
+    roots0 = (state.groupBy("comp")
+              .agg(F.max_by(F.col("id"),
+                            F.struct(F.col("deg"), F.col("id"))).alias("id"))
+              .select("id", "comp"))
+    state, lb, ub = run_sweep(state, roots0, 0)
+    i = 0
+    while ub > lb + error * lb and i < 2 * n:
+        if i % 2 == 0:
+            # farthest / largest-upper-bound node per component
+            roots = (state.groupBy("comp")
+                     .agg(F.max_by(F.col("id"),
+                                   F.struct(F.col("ub"), F.col("dist"),
+                                            -F.col("id"))).alias("id"))
+                     .select("id", "comp"))
+        else:
+            # central node close to the previous far node: minimize
+            # lb + dist among nodes beyond dist_first, tie → larger dist
+            cand = state.filter(F.col("dist") > F.col("dist_first"))
+            picked = (cand.groupBy("comp")
+                      .agg(F.min_by(F.col("id"),
+                                    F.struct(F.col("lb") + F.col("dist"),
+                                             -F.col("dist"),
+                                             F.col("id"))).alias("id")))
+            fallback = (state.groupBy("comp")
+                        .agg(F.min("id").alias("fid")))
+            roots = (fallback.join(picked, "comp", "left")
+                     .select(F.coalesce("id", "fid").alias("id"), "comp"))
+        i += 1
+        state, lb, ub = run_sweep(state, roots, i)
+    sc.cleanup()
+    return (lb, ub)
+
+
 def group_degree(g: Graph, k: int) -> list[int]:
     """GroupDegree.cpp greedy: repeatedly add the node covering the most
     uncovered neighbors. k driver rounds of one aggregation each —

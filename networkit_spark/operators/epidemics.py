@@ -7,10 +7,13 @@ probability ``trans_p``), Exposed nodes turn Infectious after
 ``e_time`` ticks, Infectious nodes turn Removed after ``i_time`` ticks,
 and an (S, E, I, R) census is recorded per tick.
 
-The reference's sequential per-node sweep is order-insensitive within a
-tick (contacted nodes only transition on LATER ticks; E→I transitions
-never contact in the same sweep), so the synchronous batch below
-computes the identical process: one join from the I-front to its
+The reference's sequential per-node sweep is MOSTLY order-insensitive
+within a tick, but with ``e_time=0`` a just-contacted node can flip
+E→I inside the same sweep depending on the parallelForNodes visit
+order — i.e. the reference is racy/order-dependent in that corner.
+The synchronous batch below pins the deterministic ordering "contacted
+nodes transition on the NEXT tick" (one of the reference's admissible
+orderings, the only order-free one): one join from the I-front to its
 neighbors + one column-expression state transition per tick, census
 fused into the tick's action. Randomness is counter-based
 (xxhash64(dst, src, t, seed) per CONTACT, mirroring the reference's

@@ -65,9 +65,21 @@ def conjugate_gradient(matrix: DataFrame, b: DataFrame,
                                  F.col("val").cast("double").alias("val"))
                    .groupBy("row", "col").agg(F.sum("val").alias("val")))
         if precond == "jacobi":
-            dinv = A.filter(F.col("row") == F.col("col")).select(
+            dinv = A.filter((F.col("row") == F.col("col"))
+                            & (F.col("val") != 0.0)).select(
                 F.col("row").alias("id"),
                 (1.0 / F.col("val")).alias("dinv"))
+            # guard: an id in b with no (or zero) diagonal entry would be
+            # silently dropped from z/p/x by the inner join below (e.g. an
+            # isolated vertex in a Laplacian) — fail loudly instead
+            missing = b.select("id").distinct().join(
+                dinv, "id", "left_anti").count()
+            if missing:
+                raise RuntimeError(
+                    f"conjugate_gradient(precond='jacobi'): {missing} id(s) "
+                    "in b have no nonzero diagonal entry in A — the Jacobi "
+                    "preconditioner is undefined there (pass precond=None "
+                    "or fix the system)")
         elif precond is None:
             dinv = None
         else:

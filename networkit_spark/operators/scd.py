@@ -145,7 +145,10 @@ def sweep_table(g: Graph, pr: DataFrame,
     exception to docs/PLANS.md rule 3."""
     sym = _sym_weighted(g)
     vol = _volumes(sym)
-    total = sym.agg(F.sum("w")).collect()[0][0] or 0.0  # == 2*totalEdgeWeight
+    # total volume = sum of reference Graph::volume over all vertices
+    # (= 2*totalEdgeWeight with self-loop weight counted twice, matching
+    # _volumes — summing sym rows would count self-loops only once)
+    total = vol.agg(F.sum("vol")).collect()[0][0] or 0.0
 
     score = F.col("p") / F.col("vol")
     if tie_digits is not None:

@@ -159,3 +159,45 @@ def test_group_closeness_star_center_first(spark):
                            directed=False)
     out = group_closeness(star, 2)
     assert out[0] == 0 and len(out) == 2
+
+
+def test_diameter_range_exact_on_karate(spark, karate):
+    from networkit_spark.operators.closeness import diameter_range
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    lb, ub = diameter_range(g, error=0.0)
+    assert (lb, ub) == (5, 5)  # karate diameter golden
+
+
+def test_diameter_range_bounds_and_error(spark):
+    from networkit_spark.operators.closeness import diameter_range
+
+    # path of 12 nodes ∪ a triangle (disconnected, multi-component)
+    edges = [(i, i + 1) for i in range(11)] + [(20, 21), (21, 22), (20, 22)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    lb, ub = diameter_range(g, error=0.0)
+    assert (lb, ub) == (11, 11)
+    lb2, ub2 = diameter_range(g, error=0.5)
+    assert lb2 <= 11 <= ub2 and ub2 <= lb2 + 0.5 * lb2
+
+
+def test_vertex_diameter_pedantic_upper_bound(spark, karate):
+    from networkit_spark.operators.closeness import (
+        estimated_vertex_diameter, estimated_vertex_diameter_pedantic)
+
+    edges, n = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    vd = estimated_vertex_diameter_pedantic(g)
+    # true vertex diameter = edge diameter + 1 = 6; pedantic is an UPPER
+    # bound computed from one BFS: maxD + maxD2 + 1
+    assert vd >= 6
+    vs = estimated_vertex_diameter(g, 4, seed=7)
+    assert vs >= 1
+
+    # exact on a path graph: one BFS from any node p gives
+    # maxD + maxD2 >= diameter; from an endpoint it is exact
+    path = Graph.from_rows(spark, [(i, i + 1) for i in range(9)],
+                           directed=False)
+    vdp = estimated_vertex_diameter_pedantic(path)
+    assert vdp >= 10
