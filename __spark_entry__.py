@@ -311,6 +311,19 @@ def q_sparsify_local_degree_pp(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_sparsify_ccts_pp(spark, sf_dir):
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_scores)
+    g = TG.graph_part_part(spark, sf_dir)
+    # CCTS scores are exact dyadic rationals that can land exactly on
+    # 6-decimal midpoints where Spark (HALF_UP) and DuckDB (HALF_EVEN)
+    # disagree — use explicit floor(x·1e6 + 0.5)/1e6 on BOTH sides
+    r6 = (F.floor(F.col("score").cast("double") * 1e6 + 0.5)
+          .cast("double") / 1e6)
+    return chance_corrected_triangle_scores(g).select(
+        "lo", "hi", r6.alias("score"))
+
+
 def q_algdist_pp(spark, sf_dir):
     """Algebraic distance edge scores (2 md5-seeded systems, 3 smoothing
     iterations) — deterministic and DuckDB-reproducible."""
@@ -883,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_jaccard_pp": q_sparsify_jaccard_pp,
         "sparsify_scan_pp": q_sparsify_scan_pp,
         "sparsify_local_degree_pp": q_sparsify_local_degree_pp,
+        "sparsify_ccts_pp": q_sparsify_ccts_pp,
         "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,

@@ -1024,6 +1024,29 @@ JOIN deg d1 ON d1.id = e.src
 JOIN deg d2 ON d2.id = e.dst
 """
 
+    o["sparsify_ccts_pp"] = tri + """
+, epair AS (
+  SELECT a AS x, b AS y FROM tri
+  UNION ALL SELECT a, c FROM tri
+  UNION ALL SELECT b, c FROM tri
+),
+etri AS (SELECT x, y, COUNT(*) AS t FROM epair GROUP BY 1, 2),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM pp_verts)
+SELECT e.src AS lo, e.dst AS hi,
+       (FLOOR(CASE
+          WHEN COALESCE(t.t, 0) > 0 THEN
+            COALESCE(t.t, 0) * (nn.n - 2.0)
+            / ((d1.deg - 1.0) * (d2.deg - 1.0))
+          WHEN d1.deg = 1 OR d2.deg = 1 THEN 1.0
+          ELSE 0.0 END * 1e6 + 0.5) / 1e6 + 0.0) AS score
+FROM pp_edges e
+CROSS JOIN nn
+LEFT JOIN etri t ON t.x = e.src AND t.y = e.dst
+JOIN deg d1 ON d1.id = e.src
+JOIN deg d2 ON d2.id = e.dst
+"""
+
     o["sparsify_local_degree_pp"] = f"""
 WITH {PP},
 deg AS (SELECT src AS id, COUNT(*) AS deg FROM pp_sym GROUP BY 1),

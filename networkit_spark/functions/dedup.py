@@ -83,9 +83,21 @@ def minhashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
 
 def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
                         id_col: str = "doc_id", text_col: str = "text",
-                        shingle: int = 1) -> DataFrame:
+                        shingle: int = 1,
+                        max_bucket: int | None = 4096) -> DataFrame:
     """(a, b) candidate near-duplicate pairs (a < b): docs sharing at least
-    one LSH band (band = r = k/bands consecutive minhashes)."""
+    one LSH band (band = r = k/bands consecutive minhashes).
+
+    Hot-bucket guard: a band bucket holding B near-identical documents
+    (mass-duplicated boilerplate, license headers — the first real-corpus
+    failure mode) emits B² candidate pairs. Buckets larger than
+    ``max_bucket`` are EXCLUDED from the self-join, and the exclusion is
+    LOGGED (bucket count + total memberships via the
+    ``networkit_spark.dedup`` logger) — never a silent cap. Members of a
+    dropped bucket are exact-or-near-exact duplicates by construction;
+    collapse them with :func:`exact_duplicates` (one hash agg) instead of
+    enumerating the quadratic pair set. ``max_bucket=None`` disables the
+    guard."""
     assert k % bands == 0
     r = k // bands
     mh = minhashes(docs, k, id_col, text_col, shingle=shingle)
@@ -97,6 +109,22 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
         )
         rows = mh.select("id", key.alias("band"))
         band_rows = rows if band_rows is None else band_rows.unionByName(rows)
+    if max_bucket is not None:
+        import logging
+
+        sizes = band_rows.groupBy("band").agg(
+            F.count(F.lit(1)).alias("bsz"))
+        hot = sizes.filter(F.col("bsz") > max_bucket)
+        stats = hot.agg(F.count(F.lit(1)).alias("nb"),
+                        F.sum("bsz").alias("members")).collect()[0]
+        if int(stats["nb"] or 0):
+            logging.getLogger("networkit_spark.dedup").warning(
+                "lsh_candidate_pairs: dropped %d hot band bucket(s) "
+                "(> %d members; %d doc-memberships total) from the "
+                "candidate join — collapse exact duplicates first",
+                int(stats["nb"]), max_bucket, int(stats["members"]))
+        band_rows = band_rows.join(
+            hot.select("band"), "band", "left_anti")
     a = band_rows.alias("x")
     b = band_rows.alias("y")
     return (

@@ -123,12 +123,129 @@ def assign_cells(emb: DataFrame, planes: int = 4, id_col: str = "vec_id",
 
 
 def lsh_bucket_pairs(emb: DataFrame, planes: int = 8, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
-    """(a, b): candidate similar pairs — vectors sharing an LSH cell."""
+                     vec_col: str = "embedding",
+                     max_bucket: int | None = 4096) -> DataFrame:
+    """(a, b): candidate similar pairs — vectors sharing an LSH cell.
+
+    Hot-bucket guard (same rationale as dedup.lsh_candidate_pairs): a
+    cell of B near-identical vectors yields B² pairs; cells larger than
+    ``max_bucket`` are excluded from the self-join with a LOGGED drop
+    count — collapse exact-duplicate vectors first. ``None`` disables."""
     cells = assign_cells(emb, planes, id_col, vec_col)
+    if max_bucket is not None:
+        import logging
+
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+        hot = sizes.filter(F.col("csz") > max_bucket)
+        stats = hot.agg(F.count(F.lit(1)).alias("nc"),
+                        F.sum("csz").alias("members")).collect()[0]
+        if int(stats["nc"] or 0):
+            logging.getLogger("networkit_spark.similarity").warning(
+                "lsh_bucket_pairs: dropped %d hot cell(s) (> %d members; "
+                "%d vector-memberships) from the candidate join",
+                int(stats["nc"]), max_bucket, int(stats["members"]))
+        cells = cells.join(hot.select("cell"), "cell", "left_anti")
     x, y = cells.alias("x"), cells.alias("y")
     return (
         x.join(y, (F.col("x.cell") == F.col("y.cell"))
                & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
     )
+
+
+def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42) -> list[list[float]]:
+    """Lloyd k-means centroids trained on DataFrames (spherical: assign
+    by max cosine). Deterministic: init = the ``n_cells`` vectors with
+    the smallest xxhash64(id, seed).
+
+    Distributed shape per iteration: one broadcast join corpus ×
+    centroids (centroids are k×d — tiny) + min_by assignment, then a
+    posexplode + (cell, dim) aggregation for the new means; only the
+    k×d centroid table ever reaches the driver."""
+    init = (emb.orderBy(F.xxhash64(id_col, F.lit(seed)))
+            .limit(n_cells).select(vec_col).collect())
+    cents = [list(map(float, r[vec_col])) for r in init]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, cvec array<double>")
+        assigned = (
+            emb.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("v"))
+            .join(F.broadcast(cdf))
+            .select("id", "v", "cell", cosine(F.col("v"),
+                                              F.col("cvec")).alias("cos"))
+            .groupBy("id")
+            .agg(F.max_by("cell", F.struct(F.col("cos"),
+                                           -F.col("cell"))).alias("cell"),
+                 F.first("v").alias("v"))
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        new = {r["cell"]: list(map(float, r["c"])) for r in means}
+        cents = [new.get(i, cents[i]) for i in range(n_cells)]
+    return cents
+
+
+def ivf_topk_trained(emb: DataFrame, queries: DataFrame,
+                     centroids: list[list[float]], k: int = 5,
+                     nprobe: int = 1, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cos, rnk): IVF search over TRAINED
+    centroids with multi-probe — each query scans its ``nprobe``
+    closest cells instead of one, trading scan fraction (≈ nprobe/
+    n_cells of the corpus) for recall. The corpus-side assignment is
+    one broadcast join; the probe lists are computed the same way on
+    the (small) query side."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell int, cvec array<double>")
+
+    def assign(df, idname, n):
+        scored = (df.select(F.col(id_col).alias(idname),
+                            F.col(vec_col).alias("v"))
+                  .join(F.broadcast(cdf))
+                  .select(idname, "v", "cell",
+                          cosine(F.col("v"), F.col("cvec")).alias("cos")))
+        w = Window.partitionBy(idname).orderBy(F.desc("cos"), F.asc("cell"))
+        return (scored.withColumn("_cr", F.row_number().over(w))
+                .filter(F.col("_cr") <= n)
+                .select(idname, "v", "cell"))
+
+    corpus = assign(emb, "neighbor_id", 1).withColumnRenamed("v", "nvec")
+    probes = assign(queries, "query_id", nprobe).withColumnRenamed("v", "qvec")
+    scored = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int) -> float:
+    """recall@k of an ANN result against the brute-force ground truth:
+    |approx∩exact| / |exact| over the top-k (query_id, neighbor_id)
+    pairs. Both inputs are cosine_topk/ivf_topk-shaped (rnk column)."""
+    ap = approx.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+    ex = exact.filter(F.col("rnk") <= k).select("query_id", "neighbor_id")
+    denom = ex.count()
+    if denom == 0:
+        return 1.0
+    hits = ap.join(ex, ["query_id", "neighbor_id"], "left_semi").count()
+    return hits / denom

@@ -508,3 +508,37 @@ def modularity_edge_scores(g: Graph) -> DataFrame:
                  - (F.col("d1") / (2 * W)) * (F.col("d2") / (2 * W)))
                 .alias("score"))
     )
+
+
+def chance_corrected_triangle_scores(g: Graph) -> DataFrame:
+    """(lo, hi, score): ChanceCorrectedTriangleScore
+    (/root/reference/networkit/cpp/sparsification/
+    ChanceCorrectedTriangleScore.cpp:15-30) — the observed triangle count
+    on an edge divided by its expectation under random wiring:
+
+        score(u,v) = triangles(u,v)·(n−2) / ((deg(u)−1)·(deg(v)−1))
+
+    for edges on ≥ 1 triangle (both endpoint degrees are then ≥ 2, so
+    the denominator is positive); edges with a degree-1 endpoint score 1;
+    all other triangle-free edges score 0.
+
+    One triangle pass + two broadcast degree joins + a column expression
+    — same shuffle shape as the other edge scores."""
+    from networkit_spark.operators.degrees import out_degrees
+
+    n = g.num_vertices()
+    tri = triangle_edge_scores(g)  # (lo, hi, triangles) per distinct edge
+    deg = out_degrees(g)
+    return (
+        tri.join(F.broadcast(deg.withColumnRenamed("id", "lo")
+                             .withColumnRenamed("degree", "d1")), "lo")
+        .join(F.broadcast(deg.withColumnRenamed("id", "hi")
+                          .withColumnRenamed("degree", "d2")), "hi")
+        .select(
+            "lo", "hi",
+            F.when(F.col("triangles") > 0,
+                   F.col("triangles") * F.lit(float(n - 2))
+                   / ((F.col("d1") - 1) * (F.col("d2") - 1)))
+            .when((F.col("d1") == 1) | (F.col("d2") == 1), F.lit(1.0))
+            .otherwise(F.lit(0.0)).alias("score"))
+    )

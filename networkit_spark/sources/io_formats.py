@@ -10,16 +10,39 @@ Reference readers (/root/reference/networkit/cpp/io/):
     ``#`` comments, non-continuous ids.
 
 All readers return edge DataFrames; parsing is column expressions over
-``spark.read.text``. METIS needs line numbers — the one legitimate RDD use
-(zipWithIndex), since text sources expose no stable row order.
+``spark.read.text``. Line-positional formats (METIS, partition, cover)
+get JVM-side line numbers via ``_numbered_lines`` — row_number over
+monotonically_increasing_id, whose (partition-index, in-partition
+counter) encoding is monotone in file offset for a text source — no
+per-row Python anywhere.
 Parquet is the engine's native format; these exist for interop parity.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from networkit_spark.graph import Graph
+
+
+def _numbered_lines(spark: SparkSession, path: str,
+                    drop_comment: str | None = None) -> DataFrame:
+    """(line, value): 0-based line numbers, fully JVM-side.
+
+    ``monotonically_increasing_id`` packs (partition index, in-partition
+    row counter); for a single text file Spark creates splits in offset
+    order, so the id is monotone in file position and a row_number
+    window over it recovers exact line numbers. ``drop_comment`` filters
+    comment lines BEFORE numbering (METIS semantics). The global window
+    is a single-partition sort over the file's lines — these are
+    fixture-interop readers, not the 100 TB path (that's parquet)."""
+    df = spark.read.text(path).withColumn(
+        "_mid", F.monotonically_increasing_id())
+    if drop_comment is not None:
+        df = df.filter(~F.ltrim("value").startswith(drop_comment))
+    return df.select(
+        (F.row_number().over(Window.orderBy("_mid")) - 1).alias("line"),
+        "value")
 
 
 def read_edgelist(
@@ -59,13 +82,7 @@ def read_metis(spark: SparkSession, path: str) -> Graph:
     reference METISParser): non-comment line i (0-based after the header)
     holds the adjacency of node i — numbering before filtering would
     shift every node id after an interior comment."""
-    rows = (
-        spark.read.text(path).rdd
-        .filter(lambda r: not r["value"].lstrip().startswith("%"))
-        .zipWithIndex()
-        .map(lambda t: (t[1], t[0]["value"]))
-    )
-    df = spark.createDataFrame(rows, "line long, value string")
+    df = _numbered_lines(spark, path, drop_comment="%")
     header = df.filter("line = 0").collect()[0]["value"].split()
     n = int(header[0])
     toks = F.split(F.trim("value"), r"\s+")
@@ -95,13 +112,10 @@ def write_edgelist(g: Graph, path: str, sep: str = "\t") -> None:
 
 def read_partition(spark: SparkSession, path: str) -> DataFrame:
     """PartitionReader: line i = label of node i → (id, label)."""
-    rows = (
-        spark.read.text(path).rdd.zipWithIndex()
-        .map(lambda t: (t[1], t[0]["value"]))
-    )
     return (
-        spark.createDataFrame(rows, "id long, value string")
-        .select("id", F.trim("value").cast("long").alias("label"))
+        _numbered_lines(spark, path)
+        .select(F.col("line").alias("id"),
+                F.trim("value").cast("long").alias("label"))
     )
 
 
@@ -266,11 +280,7 @@ def write_partition(labels: DataFrame, path: str) -> None:
 def read_cover(spark: SparkSession, path: str) -> DataFrame:
     """CoverReader: line k lists the node ids of subset k → (id, subset)
     rows (a node may appear in several subsets)."""
-    rows = (
-        spark.read.text(path).rdd.zipWithIndex()
-        .map(lambda t: (t[1], t[0]["value"]))
-    )
-    df = spark.createDataFrame(rows, "subset long, value string")
+    df = _numbered_lines(spark, path).withColumnRenamed("line", "subset")
     return (
         df.filter(F.length(F.trim("value")) > 0)
         .select("subset", F.explode(F.split(F.trim("value"), r"\s+")).alias("tok"))

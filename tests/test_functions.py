@@ -202,3 +202,57 @@ def test_frame_sampling(spark):
     )
     rows = sample_frames(media, every_ms=1000).collect()
     assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(1, 0), (1, 1), (1, 2)}
+
+
+def test_lsh_hot_bucket_guard(spark, caplog):
+    import logging
+
+    from networkit_spark.functions.dedup import lsh_candidate_pairs
+
+    # 30 identical docs (one hot bucket) + 2 distinct near-dups
+    rows = [(i, "same boilerplate license header text") for i in range(30)]
+    rows += [(100, "a unique document about graph engines"),
+             (101, "a unique document about graph engine")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="networkit_spark.dedup"):
+        pairs = lsh_candidate_pairs(docs, k=8, bands=4, max_bucket=8)
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # the 30-doc boilerplate bucket (435 pairs) is dropped AND logged;
+    # the small near-dup pair survives
+    assert all(a >= 100 for a, b in got)
+    assert any("hot band bucket" in r.message for r in caplog.records)
+    # uncapped: the quadratic pair set comes back
+    alln = lsh_candidate_pairs(docs, k=8, bands=4, max_bucket=None).count()
+    assert alln >= 435
+
+
+def test_ann_recall_floor(emb):
+    from networkit_spark.functions.similarity import recall_at_k
+
+    df, rows = emb
+    queries = df.filter("vec_id < 8")
+    exact = cosine_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5)
+    r = recall_at_k(approx, exact, 5)
+    # clustered fixture: the label cells capture most true neighbors —
+    # regression floor for the IVF path
+    assert r >= 0.8
+
+
+def test_trained_ivf_beats_hash_cells(emb):
+    from networkit_spark.functions.similarity import (
+        ivf_topk_trained, recall_at_k, train_centroids)
+
+    df, rows = emb
+    queries = df.filter("vec_id < 8")
+    exact = cosine_topk(df, queries, k=5)
+    cents = train_centroids(df, n_cells=4, iters=4)
+    assert len(cents) == 4 and len(cents[0]) == 8
+    ap1 = ivf_topk_trained(df, queries, cents, k=5, nprobe=1)
+    r1 = recall_at_k(ap1, exact, 5)
+    # the fixture has 4 genuine clusters: Lloyd recovers them and
+    # single-probe recall is near-exact — regression floor
+    assert r1 >= 0.9
+    # multi-probe is monotone in nprobe
+    ap2 = ivf_topk_trained(df, queries, cents, k=5, nprobe=2)
+    assert recall_at_k(ap2, exact, 5) >= r1

@@ -274,3 +274,27 @@ def test_modularity_edge_scores(spark):
     for u, v, w in edges:
         want = w / W - (wdeg[u] / (2 * W)) * (wdeg[v] / (2 * W))
         assert got[(min(u, v), max(u, v))] == pytest.approx(want, abs=1e-12)
+
+
+def test_chance_corrected_triangle_scores(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.sparsification import (
+        chance_corrected_triangle_scores)
+
+    # triangle 0-1-2 plus pendant 3 on 0: n=4
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (0, 2), (0, 3)],
+                        directed=False)
+    got = {(r["lo"], r["hi"]): r["score"]
+           for r in chance_corrected_triangle_scores(g).collect()}
+    # deg: 0→3, 1→2, 2→2, 3→1
+    # (0,1): 1 tri · (4−2) / ((3−1)(2−1)) = 1.0
+    # (1,2): 1 · 2 / (1·1) = 2.0 ; (0,2): 1 · 2 / (2·1) = 1.0
+    # (0,3): 0 triangles, deg(3)=1 → 1.0
+    assert got == {(0, 1): 1.0, (1, 2): 2.0, (0, 2): 1.0, (0, 3): 1.0}
+
+    # triangle-free edge with both degrees ≥ 2 scores 0
+    g2 = Graph.from_rows(spark, [(0, 1), (1, 2), (2, 3), (3, 0)],
+                         directed=False)
+    got2 = {(r["lo"], r["hi"]): r["score"]
+            for r in chance_corrected_triangle_scores(g2).collect()}
+    assert all(v == 0.0 for v in got2.values()) and len(got2) == 4
