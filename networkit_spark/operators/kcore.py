@@ -97,13 +97,26 @@ def core_decomposition(g: Graph, max_iter: int = 1000,
             state.select(F.col("id").alias("src"), F.col("core").alias("c")),
             "src").select("dst", "c")
         hist = msgs.groupBy("dst", "c").agg(F.count(F.lit(1)).alias("cnt"))
-        w = (Window.partitionBy("dst").orderBy(F.desc("c"))
-             .rowsBetween(Window.unboundedPreceding, 0))
-        h = (
-            hist.withColumn("cum", F.sum("cnt").over(w))
-            .groupBy("dst")
-            .agg(F.max(F.least(F.col("c"), F.col("cum"))).alias("h"))
-        )
+        # h-index from the per-dst histogram in ONE aggregation: collect
+        # the (c, cnt) pairs, sort descending, fold a running cumsum —
+        # h = max over distinct values of least(c, cum). The fold replaces
+        # the earlier window pass (partitionBy dst + sort), removing one
+        # whole shuffle+sort per superstep; the array holds only the
+        # DISTINCT neighbor-core values (≤ min(deg, max_core) entries),
+        # so a hub's array stays small even at cluster scale.
+        pairs = F.sort_array(F.collect_list(F.struct("c", "cnt")),
+                             asc=False)
+        fold = F.aggregate(
+            pairs,
+            F.struct(F.lit(0).cast("long").alias("cum"),
+                     F.lit(0).cast("long").alias("best")),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.greatest(acc["best"],
+                           F.least(x["c"], acc["cum"] + x["cnt"]))
+                .alias("best")),
+            lambda acc: acc["best"])
+        h = hist.groupBy("dst").agg(fold.alias("h"))
         new_core = F.least(F.col("core"), F.coalesce("h", F.col("core")))
         return (
             state.select("id", "core")
