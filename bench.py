@@ -26,6 +26,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RMAT_SCALE = int(os.environ.get("NKS_BENCH_RMAT_SCALE", "16"))
 PR_ITERS = int(os.environ.get("NKS_BENCH_PR_ITERS", "10"))
+#: repetitions per query — the recorded number is the MEDIAN, with
+#: [min, max] spread emitted under "spread" so a regression claim is
+#: falsifiable against run-to-run variance (round-3 lesson). Set 1 for
+#: a quick pass.
+REPS = int(os.environ.get("NKS_BENCH_REPS", "3"))
 
 
 def main() -> None:
@@ -47,19 +52,34 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    def timed(name: str, fn, reps: int | None = None):
+        """Median-of-``reps`` timing (first rep includes codegen/lineage
+        warmup, so the median reflects steady state); spread records
+        [min, max] across reps."""
+        samples: list[float] = []
+        out = None
+        for _ in range(max(1, REPS if reps is None else reps)):
+            t0 = time.monotonic()
+            out = fn()
+            samples.append(round(time.monotonic() - t0, 3))
+        samples.sort()
+        timings[name] = samples[len(samples) // 2]
+        spread[name] = [samples[0], samples[-1]]
         return out
 
     # -- north-rule pipeline: synthetic corpus -> edges -> PageRank --------
     repos = rmat_repos(spark, scale=RMAT_SCALE, edge_factor=8, seed=42)
-    g_corpus = timed("ingest_rmat_corpus", lambda: (
-        lambda gr: (gr.edges.persist().count(), gr)[1]
-    )(graph_from_repos(repos, directed=True)))
+
+    def ingest():
+        gr = graph_from_repos(repos, directed=True)
+        gr.edges.unpersist()  # reps must re-materialize, not hit the cache
+        gr.edges.persist().count()
+        return gr
+
+    g_corpus = timed("ingest_rmat_corpus", ingest)
     m_corpus = g_corpus.num_edges()
 
     timed(f"pagerank_rmat{RMAT_SCALE}_k{PR_ITERS}",
@@ -118,12 +138,15 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(json.dumps({
-        "metric": "headline suite wall time (north: edges/sec/superstep in extras)",
+        "metric": "headline suite wall time, median-of-%d per query "
+                  "(north: edges/sec/superstep in extras)" % REPS,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(CPUS),
+        "reps": REPS,
+        "spread": spread,
         **extras,
     }))
     spark.stop()
