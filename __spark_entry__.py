@@ -311,6 +311,28 @@ def q_sparsify_local_degree_pp(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_diameter_range_pps1(spark, sf_dir):
+    """SumSweep estimatedDiameterRange with error=0 — returns the EXACT
+    diameter as (lb, ub), deterministic regardless of sweep-root choices
+    (the loop runs until the bounds meet). Oracle: max finite BFS
+    distance over all sources."""
+    from networkit_spark.operators.closeness import diameter_range
+    g = TG.graph_pp_size1(spark, sf_dir)
+    lb, ub = diameter_range(g, error=0.0)
+    return spark.createDataFrame([(int(lb), int(ub))], "lb long, ub long")
+
+
+def q_wbetweenness_pps1w(spark, sf_dir):
+    """Exact WEIGHTED betweenness (Dijkstra-semantics Brandes) on the
+    weighted pp(p_size=1) graph; oracle = the same three fixpoints
+    (Bellman-Ford, sigma, delta) unrolled 16 rounds in DuckDB."""
+    from networkit_spark.operators.betweenness import weighted_betweenness
+    g = TG.graph_pps1_weighted(spark, sf_dir)
+    r6 = (F.floor(F.col("score").cast("double") * 1e6 + 0.5)
+          .cast("double") / 1e6)
+    return weighted_betweenness(g).select("id", r6.alias("score"))
+
+
 def q_sparsify_ccts_pp(spark, sf_dir):
     from networkit_spark.operators.sparsification import (
         chance_corrected_triangle_scores)
@@ -897,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_scan_pp": q_sparsify_scan_pp,
         "sparsify_local_degree_pp": q_sparsify_local_degree_pp,
         "sparsify_ccts_pp": q_sparsify_ccts_pp,
+        "wbetweenness_pps1w": q_wbetweenness_pps1w,
+        "diameter_range_pps1": q_diameter_range_pps1,
         "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,

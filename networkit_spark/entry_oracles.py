@@ -1754,6 +1754,15 @@ GROUP BY r1.a
     # (union of) maximum spanning forest(s) iff its endpoints are NOT
     # connected using only strictly greater edges — greater by full key
     # (weight, a, b) for the unique MSF, by weight alone for the union.
+    o["wbetweenness_pps1w"] = _wbetweenness_pps1w_sql(16)
+
+    o["diameter_range_pps1"] = f"""
+WITH {PP},
+{_brandes_unrolled(12)}
+SELECT CAST(MAX(d) AS BIGINT) AS lb, CAST(MAX(d) AS BIGINT) AS ub
+FROM dist
+"""
+
     o["msf_pps1w"] = f"""
 WITH RECURSIVE {PPS1W},
 ek AS MATERIALIZED (
@@ -1908,3 +1917,82 @@ FROM pp_verts v LEFT JOIN (
 """
 
     return o
+
+
+def _wbetweenness_pps1w_sql(k_rounds: int) -> str:
+    """Unrolled DuckDB twin of operators.betweenness.weighted_betweenness
+    on the weighted pp(p_size=1) graph: k_rounds of multi-source
+    Bellman-Ford, then the shortest-path DAG, then k_rounds each of the
+    sigma (path-count) and delta (dependency) fixpoints — the exact loop
+    the Spark operator runs, with MATERIALIZED stages standing in for
+    the parquet lineage cuts. k_rounds must exceed the max shortest-path
+    hop count (16 covers the sf0.01 fixture's ~38-vertex components)."""
+    parts = [f"WITH {PPS1W},", """
+wsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM p1e
+  UNION ALL SELECT b AS src, a AS dst, w FROM p1e
+),
+bf0 AS MATERIALIZED (SELECT id AS s, id AS v, 0.0 AS dist FROM p1v),"""]
+    for i in range(1, k_rounds + 1):
+        parts.append(f"""
+rx{i} AS MATERIALIZED (
+  SELECT d.s, e.dst AS v, MIN(d.dist + e.w) AS cand
+  FROM bf{i - 1} d JOIN wsym e ON e.src = d.v GROUP BY 1, 2
+),
+bf{i} AS MATERIALIZED (
+  SELECT COALESCE(d.s, r.s) AS s, COALESCE(d.v, r.v) AS v,
+         LEAST(COALESCE(d.dist, 1e18), COALESCE(r.cand, 1e18)) AS dist
+  FROM bf{i - 1} d FULL JOIN rx{i} r ON r.s = d.s AND r.v = d.v
+),""")
+    parts.append(f"""
+dist AS MATERIALIZED (SELECT * FROM bf{k_rounds}),
+dag AS MATERIALIZED (
+  SELECT du.s, du.v AS u, dv.v AS v
+  FROM dist du
+  JOIN wsym e ON e.src = du.v
+  JOIN dist dv ON dv.s = du.s AND dv.v = e.dst
+   AND du.dist + e.w = dv.dist
+),
+f0 AS MATERIALIZED (
+  SELECT s, v, CASE WHEN v = s THEN 1.0 ELSE 0.0 END AS sigma FROM dist
+),""")
+    for i in range(1, k_rounds + 1):
+        parts.append(f"""
+fm{i} AS MATERIALIZED (
+  SELECT g.s, g.v, SUM(p.sigma) AS msig
+  FROM dag g JOIN f{i - 1} p ON p.s = g.s AND p.v = g.u GROUP BY 1, 2
+),
+f{i} AS MATERIALIZED (
+  SELECT st.s, st.v,
+         CASE WHEN st.v = st.s THEN 1.0
+              ELSE COALESCE(m.msig, 0.0) END AS sigma
+  FROM f{i - 1} st LEFT JOIN fm{i} m ON m.s = st.s AND m.v = st.v
+),""")
+    parts.append(f"""
+b0 AS MATERIALIZED (
+  SELECT s, v, sigma, 0.0 AS delta FROM f{k_rounds}
+),""")
+    for i in range(1, k_rounds + 1):
+        parts.append(f"""
+bm{i} AS MATERIALIZED (
+  SELECT g.s, g.u AS v,
+         SUM(pu.sigma / pv.sigma * (1.0 + pv.delta)) AS nd
+  FROM dag g
+  JOIN b{i - 1} pv ON pv.s = g.s AND pv.v = g.v
+  JOIN b{i - 1} pu ON pu.s = g.s AND pu.v = g.u
+  GROUP BY 1, 2
+),
+b{i} AS MATERIALIZED (
+  SELECT st.s, st.v, st.sigma, COALESCE(m.nd, 0.0) AS delta
+  FROM b{i - 1} st LEFT JOIN bm{i} m ON m.s = st.s AND m.v = st.v
+),""")
+    parts.append(f"""
+bc AS (
+  SELECT v AS id, SUM(delta) AS score
+  FROM b{k_rounds} WHERE s <> v GROUP BY 1
+)
+SELECT p.id,
+       (FLOOR(COALESCE(bc.score, 0.0) * 1e6 + 0.5) / 1e6 + 0.0) AS score
+FROM p1v p LEFT JOIN bc ON bc.id = p.id
+""")
+    return "".join(parts)

@@ -5,8 +5,10 @@ Reference: /root/reference/networkit/cpp/centrality/Betweenness.cpp:28-120
 pair contributes twice, cf. the golden bc[2]=15 in
 CentralityGTest.cpp:42-70), EstimateBetweenness.cpp (sampled sources,
 scores scaled by n/#samples), and the edge-centrality accumulation
-(Betweenness.cpp:75-96). Unweighted shortest paths (BFS); the reference's
-weighted-Dijkstra variant is out of scope here.
+(Betweenness.cpp:75-96). ``betweenness`` is the unweighted (BFS) family;
+``weighted_betweenness`` below implements the reference's
+Dijkstra-when-weighted switch (Betweenness.cpp:57) as three relational
+fixpoints (Bellman-Ford distances, σ path counts, δ dependencies).
 
 Distributed shape — ALL sources run simultaneously, keyed by (s, v):
   forward: level-synchronous multi-source BFS accumulating σ (number of
@@ -359,3 +361,203 @@ def approx_betweenness(g: Graph, epsilon: float = 0.1, delta: float = 0.1,
     sym.unpersist()
     sc.cleanup()
     return out
+
+
+def _wsym_edges(g: Graph) -> DataFrame:
+    e = g.edges.filter("src != dst").select(
+        "src", "dst", F.col("weight").cast("double").alias("w"))
+    if not g.directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"), "w"))
+    # parallel edges: keep the lightest (only it can lie on a shortest path)
+    return e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+
+
+def weighted_betweenness(g: Graph, normalized: bool = False,
+                         sources: DataFrame | None = None,
+                         scale: float = 1.0,
+                         max_rounds: int = 1 << 14) -> DataFrame:
+    """(id, score): exact betweenness on WEIGHTED graphs — the reference
+    switches to Dijkstra when ``G.isWeighted()``
+    (/root/reference/networkit/cpp/centrality/Betweenness.cpp:50-96);
+    same un-halved undirected convention (golden bc[2]=bc[5]=23,
+    CentralityGTest.cpp:131-168). Positive weights required.
+
+    Distributed shape — all sources simultaneously, keyed by (s, v):
+      1. multi-source Bellman-Ford to the distance fixpoint (one edge
+         join + min-aggregation per relax round, observed changed
+         count riding the lineage cut);
+      2. the shortest-path DAG as a relation:
+         dag(s, u, v) ⇔ dist(s,u) + w(u,v) = dist(s,v) (the Dijkstra
+         predecessor rule, bit-exact since every dist was produced as
+         the min over exactly these sums);
+      3. forward fixpoint for σ (path counts) and H (longest DAG hop
+         depth) jointly — both stabilize in max-hop rounds, change
+         count observed;
+      4. backward fixpoint for the dependencies
+         δ(u) = Σ_{(u,v)∈dag} σ_u/σ_v·(1 + δ(v)) — converges once the
+         longest downward chain has propagated (H rounds), detected by
+         an observed per-round change count on rounded values;
+      5. bc(v) = Σ_{s≠v} δ_s(v) · scale.
+    """
+    spark = g.edges.sparkSession
+    if sources is None:
+        sources = g.vertices.select(F.col("id").alias("s"))
+    sym = _wsym_edges(g).repartition("src").persist()
+    bad = sym.filter(F.col("w") <= 0).limit(1).count()
+    if bad:
+        sym.unpersist()
+        raise ValueError("weighted_betweenness requires positive edge "
+                         "weights (zero/negative weights break the "
+                         "shortest-path DAG)")
+    sc = Scratch(spark, "wbw")
+    count_rows = F.count(F.lit(1)).alias("rows")
+
+    # 1. multi-source Bellman-Ford: (s, v, dist)
+    dist = sc.cut(sources.select("s", F.col("s").alias("v"),
+                                 F.lit(0.0).alias("dist")), "d0")
+    rnd = 0
+    while True:
+        rnd += 1
+        if rnd > max_rounds:
+            raise RuntimeError("weighted_betweenness: Bellman-Ford did "
+                               f"not converge in {max_rounds} rounds")
+        relax = (
+            dist.join(sym.withColumnRenamed("src", "v"), "v")
+            .groupBy("s", F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        merged = (
+            dist.join(relax, ["s", "v"], "full")
+            .select("s", "v",
+                    F.least(F.coalesce("dist", F.lit(float("inf"))),
+                            F.coalesce("cand", F.lit(float("inf"))))
+                    .alias("dist"),
+                    (F.col("cand") < F.coalesce("dist", F.lit(float("inf"))))
+                    .cast("long").alias("_chg"))
+        )
+        dist, m = sc.cut_observed(
+            merged, [F.sum(F.coalesce("_chg", F.lit(0))).alias("chg")],
+            keep=["s", "v", "dist"], name=f"d{rnd}")
+        if int(m["chg"] or 0) == 0:
+            break
+
+    # 2. shortest-path DAG (s, u, v): one edge join per (dist-u, dist-v)
+    du = dist.select("s", F.col("v").alias("u"), F.col("dist").alias("du"))
+    dv = dist.select("s", F.col("v").alias("v"), F.col("dist").alias("dv"))
+    dag = sc.cut(
+        du.join(sym.withColumnRenamed("src", "u")
+                .withColumnRenamed("dst", "v"), "u")
+        .join(dv, ["s", "v"])
+        .filter(F.col("du") + F.col("w") == F.col("dv"))
+        .select("s", "u", "v"), "dag")
+
+    # 3. forward σ / H fixpoint over the DAG
+    state = sc.cut(
+        dist.select("s", "v",
+                    F.when(F.col("v") == F.col("s"), 1.0)
+                    .otherwise(0.0).alias("sigma"),
+                    F.lit(0).cast("long").alias("h")), "f0")
+    rnd = 0
+    while True:
+        rnd += 1
+        if rnd > max_rounds:
+            raise RuntimeError("weighted_betweenness: sigma fixpoint "
+                               f"did not converge in {max_rounds} rounds")
+        msgs = (
+            dag.join(state.select("s", F.col("v").alias("u"),
+                                  F.col("sigma").alias("su"),
+                                  F.col("h").alias("hu")),
+                     ["s", "u"])
+            .groupBy("s", "v")
+            .agg(F.sum("su").alias("msig"), (F.max("hu") + 1).alias("mh"))
+        )
+        new = (
+            state.join(msgs, ["s", "v"], "left")
+            .select(
+                "s", "v",
+                F.when(F.col("v") == F.col("s"), 1.0)
+                .otherwise(F.coalesce("msig", F.lit(0.0))).alias("nsigma"),
+                F.when(F.col("v") == F.col("s"), F.lit(0).cast("long"))
+                .otherwise(F.coalesce("mh", F.lit(0)).cast("long"))
+                .alias("nh"),
+                "sigma", "h")
+            .select("s", "v", F.col("nsigma").alias("sigma"),
+                    F.col("nh").alias("h"),
+                    ((F.col("nsigma") != F.col("sigma"))
+                     | (F.col("nh") != F.col("h"))).cast("long")
+                    .alias("_chg"))
+        )
+        state, m = sc.cut_observed(
+            new, [F.sum("_chg").alias("chg")],
+            keep=["s", "v", "sigma", "h"], name=f"f{rnd}")
+        if int(m["chg"] or 0) == 0:
+            break
+
+    # 4. backward δ fixpoint: δ(u) = Σ_dag σu/σv (1 + δ(v))
+    delta = sc.cut(state.select("s", "v", "sigma",
+                                F.lit(0.0).alias("delta")), "b0")
+    rnd = 0
+    while True:
+        rnd += 1
+        if rnd > max_rounds:
+            raise RuntimeError("weighted_betweenness: delta fixpoint "
+                               f"did not converge in {max_rounds} rounds")
+        msgs = (
+            dag.join(delta.select("s", "v", F.col("sigma").alias("sv"),
+                                  F.col("delta").alias("dv")), ["s", "v"])
+            .join(delta.select("s", F.col("v").alias("u"),
+                               F.col("sigma").alias("su")), ["s", "u"])
+            .groupBy("s", F.col("u").alias("v"))
+            .agg(F.sum(F.col("su") / F.col("sv")
+                       * (1.0 + F.col("dv"))).alias("nd"))
+        )
+        new = (
+            delta.join(msgs, ["s", "v"], "left")
+            .select("s", "v", "sigma",
+                    F.coalesce("nd", F.lit(0.0)).alias("ndelta"), "delta")
+            .select("s", "v", "sigma", F.col("ndelta").alias("delta"),
+                    (F.round(F.col("ndelta"), 9)
+                     != F.round(F.col("delta"), 9)).cast("long")
+                    .alias("_chg"))
+        )
+        delta, m = sc.cut_observed(
+            new, [F.sum("_chg").alias("chg")],
+            keep=["s", "v", "sigma", "delta"], name=f"b{rnd}")
+        if int(m["chg"] or 0) == 0:
+            break
+
+    bc = (
+        delta.filter(F.col("s") != F.col("v"))
+        .groupBy(F.col("v").alias("id"))
+        .agg((F.sum("delta") * F.lit(scale)).alias("score"))
+    )
+    out = g.vertices.join(bc, "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    if normalized:
+        n = g.vertices.count()
+        pairs = (n - 1) * (n - 2)
+        if not g.directed:
+            pairs //= 2
+        out = out.select("id", (F.col("score") / F.lit(float(pairs)))
+                         .alias("score"))
+    out = out.persist()
+    out.count()
+    sym.unpersist()
+    sc.cleanup()
+    return out
+
+
+def estimate_weighted_betweenness(g: Graph, n_samples: int, seed: int = 42,
+                                  normalized: bool = False) -> DataFrame:
+    """EstimateBetweenness on weighted graphs: weighted Brandes from
+    hash-sampled sources, scaled by n/#samples."""
+    n = g.vertices.count()
+    k = min(n_samples, n)
+    sources = (
+        g.vertices.select(F.col("id").alias("s"))
+        .orderBy(F.xxhash64("s", F.lit(seed)))
+        .limit(k)
+    )
+    return weighted_betweenness(g, normalized=normalized, sources=sources,
+                                scale=float(n) / float(k))

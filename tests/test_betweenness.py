@@ -118,3 +118,43 @@ def test_approx_betweenness_tiny_diameter_zero(spark):
                                  for v in range(u + 1, 4)], directed=False)
     out = approx_betweenness(k4)
     assert all(r["score"] == 0.0 for r in out.collect())
+
+
+def test_weighted_betweenness_reference_golden(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.betweenness import weighted_betweenness
+
+    # CentralityGTest.cpp:131-168 weighted fixture
+    edges = [(0, 2, 3.0), (1, 2, 2.0), (2, 3, 3.0), (2, 4, 2.0),
+             (2, 5, 1.5), (3, 5, 3.0), (4, 5, 2.0), (5, 6, 3.0),
+             (5, 7, 2.0)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    got = {r["id"]: r["score"] for r in weighted_betweenness(g).collect()}
+    want = {0: 0.0, 1: 0.0, 2: 23.0, 3: 0.0, 4: 0.0, 5: 23.0,
+            6: 0.0, 7: 0.0}
+    for v, s in want.items():
+        assert got[v] == pytest.approx(s, abs=1e-3), (v, got[v])
+
+
+def test_weighted_matches_unweighted_on_unit_weights(spark, karate):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.betweenness import (
+        betweenness, weighted_betweenness)
+
+    edges, n = karate
+    g = Graph.from_rows(spark, [(u, v, 1.0) for u, v in edges],
+                        directed=False)
+    exact = {r["id"]: r["score"] for r in betweenness(g).collect()}
+    got = {r["id"]: r["score"] for r in weighted_betweenness(g).collect()}
+    for v in range(n):
+        assert got[v] == pytest.approx(exact[v], rel=1e-9), v
+
+
+def test_weighted_betweenness_rejects_nonpositive(spark):
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.betweenness import weighted_betweenness
+
+    g = Graph.from_rows(spark, [(0, 1, 0.0), (1, 2, 1.0)],
+                        directed=False)
+    with pytest.raises(ValueError):
+        weighted_betweenness(g)
