@@ -311,6 +311,16 @@ def q_sparsify_local_degree_pp(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_ari_pps1(spark, sf_dir):
+    """Per-pair AdjustedRandIndex (bug-for-bug reference parity: b = c =
+    |union|, AdjustedRandIndex.cpp:26-39) on pp(p_size=1)."""
+    from networkit_spark.operators.linkpred import adjusted_rand_index
+    g = TG.graph_pp_size1(spark, sf_dir)
+    r6 = (F.floor(F.col("score").cast("double") * 1e6 + 0.5)
+          .cast("double") / 1e6)
+    return adjusted_rand_index(g).select("u", "v", r6.alias("score"))
+
+
 def q_diameter_range_pps1(spark, sf_dir):
     """SumSweep estimatedDiameterRange with error=0 — returns the EXACT
     diameter as (lb, ub), deterministic regardless of sweep-root choices
@@ -921,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparsify_ccts_pp": q_sparsify_ccts_pp,
         "wbetweenness_pps1w": q_wbetweenness_pps1w,
         "diameter_range_pps1": q_diameter_range_pps1,
+        "ari_pps1": q_ari_pps1,
         "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,

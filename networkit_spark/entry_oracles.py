@@ -1756,6 +1756,41 @@ GROUP BY r1.a
     # (weight, a, b) for the unique MSF, by weight alone for the union.
     o["wbetweenness_pps1w"] = _wbetweenness_pps1w_sql(16)
 
+    o["ari_pps1"] = f"""
+WITH {PP},
+pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
+pe AS (
+  SELECT src, dst FROM pp_edges
+  WHERE src IN (SELECT id FROM pv) AND dst IN (SELECT id FROM pv)
+),
+psym AS (SELECT src, dst FROM pe UNION ALL SELECT dst AS src, src AS dst FROM pe),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM psym GROUP BY 1),
+common AS (
+  SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS DOUBLE) AS a
+  FROM psym a JOIN psym b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pv),
+scored AS (
+  SELECT c.u, c.v,
+         c.a AS a,
+         CAST(d1.deg + d2.deg AS DOUBLE) - c.a AS un,
+         nn.n - (CAST(d1.deg + d2.deg AS DOUBLE) - c.a) AS d
+  FROM common c
+  CROSS JOIN nn
+  JOIN deg d1 ON d1.id = c.u
+  JOIN deg d2 ON d2.id = c.v
+)
+SELECT u, v,
+       (FLOOR(CASE
+          WHEN (a*un + a*un + 2*a*d + un*un + un*d + un*un + un*d) = 0
+          THEN 0.0
+          ELSE 2*(a*d - un*un)
+               / (a*un + a*un + 2*a*d + un*un + un*d + un*un + un*d)
+        END * 1e6 + 0.5) / 1e6 + 0.0) AS score
+FROM scored
+"""
+
     o["diameter_range_pps1"] = f"""
 WITH {PP},
 {_brandes_unrolled(12)}

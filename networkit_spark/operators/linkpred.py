@@ -82,6 +82,36 @@ def jaccard_index(g: Graph) -> DataFrame:
     )
 
 
+def adjusted_rand_index(g: Graph) -> DataFrame:
+    """(u, v, score): the reference's per-pair AdjustedRandIndex —
+    REPRODUCED BUG-FOR-BUG (/root/reference/networkit/cpp/
+    linkprediction/AdjustedRandIndex.cpp:26-39: ``uDifference`` and
+    ``vDifference`` are built with ``std::set_union`` instead of
+    ``set_difference``, so b = c = |N(u)∪N(v)|). With
+    a = |N(u)∩N(v)|, b = c = |N(u)∪N(v)|, d = n − |N(u)∪N(v)|:
+
+        score = 2(ad − bc) / (ab + ac + 2ad + b² + bd + c² + cd),
+        0 when the denominator is 0.
+
+    Matching the reference's outputs exactly is the point of parity —
+    the textbook formula would disagree with every score the reference
+    ever produced. Pairs with ≥ 1 common neighbor, u < v (the
+    LinkPredictor ``runAll`` domain restricted the same way as the other
+    indices here)."""
+    n = g.num_vertices()
+    s = common_neighbor_stats(g)
+    a = F.col("common").cast("double")
+    un = (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double")
+    b = un
+    c = un
+    d = F.lit(float(n)) - un
+    denom = a * b + a * c + 2 * a * d + b * b + b * d + c * c + c * d
+    return s.select(
+        "u", "v",
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(2 * (a * d - b * c) / denom).alias("score"))
+
+
 def preferential_attachment_index(g: Graph) -> DataFrame:
     s = common_neighbor_stats(g)
     return s.select(

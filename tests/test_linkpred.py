@@ -211,3 +211,32 @@ def test_thresholder_sampler_and_metrics(spark):
     assert 0 < kept < 40
     # determinism
     assert random_link_sampler(g, 0.5, seed=7).num_edges() == kept
+
+
+def test_adjusted_rand_index_bug_for_bug(spark):
+    """Python replica of the reference's runImpl (including its
+    set_union-instead-of-set_difference bug) on a small graph."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.linkpred import adjusted_rand_index
+
+    edges = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4), (0, 4)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    n = len(adj)
+
+    def ref(u, v):
+        common = adj[u] & adj[v]
+        union = adj[u] | adj[v]
+        a, b, c, d = (float(len(common)), float(len(union)),
+                      float(len(union)), float(n - len(union)))
+        denom = a * b + a * c + 2 * a * d + b * b + b * d + c * c + c * d
+        return 0.0 if denom == 0 else 2 * (a * d - b * c) / denom
+
+    got = {(r["u"], r["v"]): r["score"]
+           for r in adjusted_rand_index(g).collect()}
+    assert got, "no pairs"
+    for (u, v), s in got.items():
+        assert s == pytest.approx(ref(u, v), rel=1e-12), (u, v)
