@@ -251,3 +251,121 @@ def update_apsp(dist: DataFrame, inserts: DataFrame,
         out = cur.persist()
         out.count()
     return out
+
+
+def update_betweenness(g: Graph, bc: DataFrame, dist: DataFrame,
+                       events: DataFrame
+                       ) -> tuple[Graph, DataFrame, DataFrame]:
+    """DynBetweenness batch-insert update
+    (/root/reference/networkit/cpp/centrality/DynBetweenness.cpp:163-240:
+    edge insertions / weight decreases only; maintains all-pairs
+    (distances, sigma) and repairs only the affected region).
+
+    The reference repairs per-PAIR dependency sweeps from each affected
+    target; the batch-native granularity is the affected SOURCE — the
+    exact analogue of update_connected_components' affected-component
+    warm restart:
+
+      1. affected sources A = {s : some inserted edge (u,v,w) gives
+         dist(s,u) + w ≤ dist(s,v)} (≤, not <: an equal-length path
+         changes σ and therefore the dependencies) ∪ brand-new vertices
+         — one broadcast join against the maintained APSP table;
+      2. bc_new = bc − partial_bc_old(A) + partial_bc_new(A), each
+         partial a batched Brandes restricted to A (sources= argument
+         of the static operator — weighted graphs take the
+         weighted_betweenness path, mirroring the reference's Dijkstra
+         switch);
+      3. the APSP table itself repairs via update_apsp (Ramalingam–Reps).
+
+    Work ∝ |A|·(BFS over reachable) + affected-pair repair — untouched
+    sources never enter a frontier. Returns (new_g, new_bc, new_dist).
+
+    ``bc``: (id, score) from betweenness()/weighted_betweenness();
+    ``dist``: all-pairs finite distances (s, v, d) — closeness._dist_rows
+    shape, also what update_apsp maintains."""
+    from networkit_spark.operators.betweenness import (
+        betweenness, weighted_betweenness)
+    from networkit_spark.streaming.events import apply_events
+
+    bad = events.filter(
+        ~F.col("type").isin("EDGE_ADDITION", "EDGE_WEIGHT_UPDATE")).count()
+    if bad:
+        raise ValueError(
+            "update_betweenness: edge insertions / weight decreases only "
+            "(DynBetweenness.cpp:171 throws on anything else); recompute "
+            "after removals")
+
+    if g.weighted:
+        upd = events.filter(F.col("type") == "EDGE_WEIGHT_UPDATE")
+        old_w = g.edges.select(
+            F.least("src", "dst").alias("_lo"),
+            F.greatest("src", "dst").alias("_hi"),
+            F.col("weight").alias("_old_w"))
+        grew = (upd.select(F.least("u", "v").alias("_lo"),
+                           F.greatest("u", "v").alias("_hi"),
+                           F.col("w").alias("_new_w"))
+                .join(old_w, ["_lo", "_hi"])
+                .filter(F.col("_new_w") > F.col("_old_w")).count())
+        if grew:
+            raise ValueError(
+                "update_betweenness: weight increases are "
+                "distance-increasing; recompute (reference accepts "
+                "decreases only, DynBetweenness.cpp:171)")
+
+    spark = g.edges.sparkSession
+    new_edges = apply_events(g.edges, events)
+    endpoints = (events.select(F.explode(F.array("u", "v")).alias("id"))
+                 .filter(F.col("id").isNotNull()).distinct())
+    new_vertices = g.vertices.union(endpoints).distinct()
+    new_g = Graph(new_edges, directed=g.directed, weighted=g.weighted,
+                  vertices=new_vertices)
+
+    ins = events.select(
+        F.col("u").cast("long"), F.col("v").cast("long"),
+        (F.coalesce("w", F.lit(1.0)) if g.weighted else F.lit(1.0))
+        .cast("double").alias("w"))
+    ins_dir = ins if g.directed else ins.union(
+        ins.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+
+    # 1. affected sources: dist(s,u) + w <= dist(s,v), unreachable = inf
+    du = dist.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = dist.select("s", F.col("v").alias("v"), F.col("d").alias("dv"))
+    aff = (
+        du.join(F.broadcast(ins_dir), "u")
+        .join(dv, ["s", "v"], "left")
+        .filter(F.col("du") + F.col("w")
+                <= F.coalesce("dv", F.lit(float("inf"))))
+        .select("s").distinct()
+    )
+    new_ids = new_vertices.join(
+        dist.select(F.col("s").alias("id")).distinct(), "id", "left_anti")
+    affected = aff.union(new_ids.select(F.col("id").alias("s"))) \
+        .distinct().persist()
+    n_aff = affected.count()
+    if n_aff == 0:
+        return new_g, bc, dist
+
+    # 2. subtract old contributions, add new ones (source-partial Brandes)
+    part = weighted_betweenness if g.weighted else betweenness
+    old_part = part(g, sources=affected)
+    new_part = part(new_g, sources=affected)
+    new_bc = (
+        new_vertices
+        .join(bc.withColumnRenamed("score", "b0"), "id", "left")
+        .join(old_part.withColumnRenamed("score", "b_old"), "id", "left")
+        .join(new_part.withColumnRenamed("score", "b_new"), "id", "left")
+        .select(
+            "id",
+            (F.coalesce("b0", F.lit(0.0)) - F.coalesce("b_old", F.lit(0.0))
+             + F.coalesce("b_new", F.lit(0.0))).alias("score"))
+    )
+
+    # 3. repair the APSP table (new sources enter via their diagonal)
+    dist_all = dist.union(
+        new_ids.select(F.col("id").alias("s"), F.col("id").alias("v"),
+                       F.lit(0.0).alias("d")))
+    new_dist = update_apsp(dist_all, ins, directed=g.directed)
+    new_bc = new_bc.persist()
+    new_bc.count()
+    affected.unpersist()
+    return new_g, new_bc, new_dist

@@ -1,5 +1,7 @@
 """Dynamic connected-components updates vs full recompute."""
 
+import pytest
+
 from networkit_spark.graph import Graph
 from networkit_spark.operators.components import connected_components
 from networkit_spark.streaming.dyn import update_connected_components
@@ -183,3 +185,95 @@ def test_update_apsp_directed_unreachable_pair(spark):
     assert got[(0, 3)] == 8.0
     assert got[(1, 3)] == 7.0
     assert (2, 0) not in got  # directed: no backward paths
+
+
+def _apsp_rows(spark, g):
+    """(s, v, d) finite distances, d >= 1 (closeness._dist_rows shape)."""
+    from networkit_spark.operators.closeness import _dist_rows
+
+    rows, sc = _dist_rows(g)
+    if rows is None:
+        sc.cleanup()
+        return spark.createDataFrame([], "s long, v long, d long")
+    data = [(r["s"], r["v"], r["d"]) for r in rows.collect()]
+    sc.cleanup()
+    return spark.createDataFrame(data, "s long, v long, d long")
+
+
+def test_dyn_betweenness_insert_vs_recompute(spark):
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.streaming.dyn import update_betweenness
+
+    # two 4-cycles joined at one vertex; insert a bridge shortcut
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0),
+             (3, 4), (4, 5), (5, 6), (6, 3)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    bc0 = betweenness(g)
+    dist0 = _apsp_rows(spark, g)
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 0, 5, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, bc2, dist2 = update_betweenness(g, bc0, dist0, ev)
+    got = {r["id"]: r["score"] for r in bc2.collect()}
+    want = {r["id"]: r["score"] for r in betweenness(g2).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # repaired APSP matches recompute too (diagonal rows are internal)
+    d_want = {(r["s"], r["v"]): r["d"]
+              for r in _apsp_rows(spark, g2).collect()}
+    d_got = {(r["s"], r["v"]): r["d"]
+             for r in dist2.filter("s != v").collect()}
+    assert d_got == {k: float(v) for k, v in d_want.items()}
+
+
+def test_dyn_betweenness_new_vertex_and_noop(spark):
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.streaming.dyn import update_betweenness
+
+    g = Graph.from_rows(spark, [(0, 1), (1, 2)], directed=False)
+    bc0 = betweenness(g)
+    dist0 = _apsp_rows(spark, g)
+    # attach a brand-new vertex 9 to the end of the path
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 2, 9, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, bc2, dist2 = update_betweenness(g, bc0, dist0, ev)
+    got = {r["id"]: r["score"] for r in bc2.collect()}
+    want = {r["id"]: r["score"] for r in betweenness(g2).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    with pytest.raises(ValueError):
+        bad = spark.createDataFrame(
+            [("EDGE_REMOVAL", 0, 1, 1.0, 1)],
+            "type string, u long, v long, w double, t long")
+        update_betweenness(g, bc0, dist0, bad)
+
+
+def test_dyn_betweenness_weighted(spark):
+    from networkit_spark.operators.betweenness import weighted_betweenness
+    from networkit_spark.streaming.dyn import update_betweenness
+
+    edges = [(0, 1, 2.0), (1, 2, 2.0), (2, 3, 2.0), (0, 3, 9.0), (3, 4, 1.0)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    bc0 = weighted_betweenness(g)
+
+    # weighted APSP rows via the same Bellman-Ford the operator uses
+    from networkit_spark.operators.distances import sssp
+    import itertools
+    rows = []
+    ids = [0, 1, 2, 3, 4]
+    for s in ids:
+        d = {r["id"]: r["dist"] for r in sssp(g, s).collect()}
+        rows += [(s, v, float(dv)) for v, dv in d.items()
+                 if v != s and dv != float("inf")]
+    dist0 = spark.createDataFrame(rows, "s long, v long, d double")
+
+    ev = spark.createDataFrame(
+        [("EDGE_WEIGHT_UPDATE", 0, 3, 1.0, 1)],  # 9.0 -> 1.0 decrease
+        "type string, u long, v long, w double, t long")
+    g2, bc2, _ = update_betweenness(g, bc0, dist0, ev)
+    got = {r["id"]: r["score"] for r in bc2.collect()}
+    want = {r["id"]: r["score"] for r in weighted_betweenness(g2).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
