@@ -540,25 +540,16 @@ def pub_web_points(spark: SparkSession, n: int, num_dense_areas: int = 10,
     return ids.select("id", x.alias("x"), y.alias("y"))
 
 
-def pub_web_edges(spark: SparkSession, n: int, num_dense_areas: int = 10,
-                  neighborhood_radius: float = 0.05,
-                  max_neighbors: int = 16, seed: int = 42,
-                  base_weight: float = 0.01) -> DataFrame:
-    """(src, dst, weight): PubWeb random geometric graph on the unit
-    torus (reference PubWebGenerator.cpp:57-76 isValidEdge): connect
-    points within ``neighborhood_radius`` (torus metric), weight =
-    base_weight / distance, each node capped at ``max_neighbors``.
-
-    Distributed shape: grid-bucket the torus into radius-sized cells,
-    explode each point into its 3x3 neighbor cells, and join on the cell
-    key — candidate pairs are O(n · points-per-cell), never the n²
-    cross join. The reference's degree cap is insertion-order greedy
-    (nondeterministic under OpenMP); ours keeps each node's
-    ``max_neighbors`` NEAREST candidates and requires mutual
-    survival — order-free and deterministic, documented deviation."""
+def pub_web_edges_from_points(pts: DataFrame,
+                              neighborhood_radius: float = 0.05,
+                              max_neighbors: int = 16,
+                              base_weight: float = 0.01) -> DataFrame:
+    """(src, dst, weight): the PubWeb torus radius join over an
+    arbitrary (id, x, y) points table — shared by the static generator
+    and the dynamic movement model (reference recomputes the structure
+    from coordinates the same way, DynamicPubWebGenerator.cpp:117-160)."""
     from pyspark.sql import Window
     m = max(1, int(1.0 / neighborhood_radius))  # cells per axis
-    pts = pub_web_points(spark, n, num_dense_areas, seed=seed)
     cell_x = F.floor(F.col("x") * m).cast("long")
     cell_y = F.floor(F.col("y") * m).cast("long")
     offs = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
@@ -604,6 +595,27 @@ def pub_web_edges(spark: SparkSession, n: int, num_dense_areas: int = 10,
         (base_weight / F.sqrt(F.col("d2"))).alias("weight"))
 
 
+def pub_web_edges(spark: SparkSession, n: int, num_dense_areas: int = 10,
+                  neighborhood_radius: float = 0.05,
+                  max_neighbors: int = 16, seed: int = 42,
+                  base_weight: float = 0.01) -> DataFrame:
+    """(src, dst, weight): PubWeb random geometric graph on the unit
+    torus (reference PubWebGenerator.cpp:57-76 isValidEdge): connect
+    points within ``neighborhood_radius`` (torus metric), weight =
+    base_weight / distance, each node capped at ``max_neighbors``.
+
+    Distributed shape: grid-bucket the torus into radius-sized cells,
+    explode each point into its 3x3 neighbor cells, and join on the cell
+    key — candidate pairs are O(n · points-per-cell), never the n²
+    cross join. The reference's degree cap is insertion-order greedy
+    (nondeterministic under OpenMP); ours keeps each node's
+    ``max_neighbors`` NEAREST candidates and requires mutual
+    survival — order-free and deterministic, documented deviation."""
+    pts = pub_web_points(spark, n, num_dense_areas, seed=seed)
+    return pub_web_edges_from_points(pts, neighborhood_radius,
+                                     max_neighbors, base_weight)
+
+
 def _rhg_bands(n: int, R: float, series_ratio: float = 0.9) -> list:
     """Band boundaries forming a geometric difference series (reference
     HyperbolicGenerator.h:97-113 getBandRadii)."""
@@ -619,35 +631,41 @@ def _rhg_bands(n: int, R: float, series_ratio: float = 0.9) -> list:
     return out
 
 
-def hyperbolic_edges(spark: SparkSession, n: int, avg_degree: float = 6.0,
-                     gamma: float = 3.0, R: float | None = None,
-                     seed: int = 42) -> DataFrame:
-    """(src, dst): threshold random hyperbolic graph (T = 0) — the
-    reference's signature generator (HyperbolicGenerator.cpp:100-180,
-    von Looz et al.): n points in the hyperbolic disc of radius R,
-    radial density alpha·sinh(alpha·r)/(cosh(alpha·R)−1) with
-    alpha = (gamma−1)/2, an edge wherever hyperbolic distance ≤ R.
-    R defaults to the cold-regime closed form 2·ln(n/v)
-    (HyperbolicSpace.h:166-175; the reference then refines numerically —
-    documented deviation, degrees land within ~2x of the target).
-
-    Distributed shape mirroring the reference's radial bands: the band
-    list (O(log n), driver-side) + per-band-pair angular windows
-    W(bi,bj) = max Δθ at which two points at the bands' INNER radii can
-    still connect (the most permissive bound). Candidate pairs come
-    from an equi-join on (band_i, band_j, angle bucket of width W) with
-    the probe side exploded into ±1 buckets — per point O(bands)
-    explode, never the n² cross join; the exact cosh distance filter
-    runs on candidates only. Counter-based hashes: deterministic."""
+def _rhg_R(n: int, avg_degree: float, gamma: float) -> float:
+    """Cold-regime disc radius closed form (HyperbolicSpace.h:166-175)."""
     import math
+    alpha = (gamma - 1.0) / 2.0
+    plexp = 2 * alpha + 1
+    xi_inv = (plexp - 2) / (plexp - 1)
+    v = avg_degree * (math.pi / 2) * xi_inv * xi_inv
+    return 2 * math.log(n / v)
 
+
+def hyperbolic_points(spark: SparkSession, n: int, avg_degree: float = 6.0,
+                      gamma: float = 3.0, R: float | None = None,
+                      seed: int = 42) -> DataFrame:
+    """(id, r, theta): points in the hyperbolic disc, radial density
+    alpha·sinh(alpha·r)/(cosh(alpha·R)−1)."""
+    import math
     alpha = (gamma - 1.0) / 2.0
     if R is None:
-        plexp = 2 * alpha + 1
-        xi_inv = (plexp - 2) / (plexp - 1)
-        v = avg_degree * (math.pi / 2) * xi_inv * xi_inv
-        R = 2 * math.log(n / v)
+        R = _rhg_R(n, avg_degree, gamma)
     cosh_ar = math.cosh(alpha * R)
+    u_r = _u01(F.col("id"), F.lit(seed), F.lit(0))
+    u_t = _u01(F.col("id"), F.lit(seed), F.lit(1))
+    r_expr = F.acosh(1.0 + u_r * (cosh_ar - 1.0)) / alpha
+    return spark.range(n).select(
+        "id", r_expr.alias("r"), (u_t * (2 * math.pi)).alias("theta"))
+
+
+def hyperbolic_edges_from_points(pts: DataFrame, n: int,
+                                 R: float) -> DataFrame:
+    """(src, dst): the banded unit-disc join over an arbitrary
+    (id, r, theta) points table — shared by the static generator and the
+    dynamic movement model."""
+    import math
+
+    spark = pts.sparkSession
     bands = _rhg_bands(n, R)
     nb_bands = len(bands) - 1
 
@@ -675,12 +693,6 @@ def hyperbolic_edges(spark: SparkSession, n: int, avg_degree: float = 6.0,
     pairs = F.broadcast(spark.createDataFrame(
         pair_rows, "bi int, bj int, w double, nbuck int"))
 
-    u_r = _u01(F.col("id"), F.lit(seed), F.lit(0))
-    u_t = _u01(F.col("id"), F.lit(seed), F.lit(1))
-    r_expr = F.acosh(1.0 + u_r * (cosh_ar - 1.0)) / alpha
-    pts = spark.range(n).select(
-        "id", r_expr.alias("r"),
-        (u_t * (2 * math.pi)).alias("theta"))
     band_expr = F.lit(nb_bands - 1)
     for b in range(nb_bands - 1, 0, -1):
         band_expr = F.when(F.col("r") < bands[b], b - 1).otherwise(band_expr)
@@ -715,6 +727,31 @@ def hyperbolic_edges(spark: SparkSession, n: int, avg_degree: float = 6.0,
                       F.greatest("id", "id2").alias("dst")).distinct()
     return out
 
+
+def hyperbolic_edges(spark: SparkSession, n: int, avg_degree: float = 6.0,
+                     gamma: float = 3.0, R: float | None = None,
+                     seed: int = 42) -> DataFrame:
+    """(src, dst): threshold random hyperbolic graph (T = 0) — the
+    reference's signature generator (HyperbolicGenerator.cpp:100-180,
+    von Looz et al.): n points in the hyperbolic disc of radius R,
+    radial density alpha·sinh(alpha·r)/(cosh(alpha·R)−1) with
+    alpha = (gamma−1)/2, an edge wherever hyperbolic distance ≤ R.
+    R defaults to the cold-regime closed form 2·ln(n/v)
+    (HyperbolicSpace.h:166-175; the reference then refines numerically —
+    documented deviation, degrees land within ~2x of the target).
+
+    Distributed shape mirroring the reference's radial bands: the band
+    list (O(log n), driver-side) + per-band-pair angular windows
+    W(bi,bj) = max Δθ at which two points at the bands' INNER radii can
+    still connect (the most permissive bound). Candidate pairs come
+    from an equi-join on (band_i, band_j, angle bucket of width W) with
+    the probe side exploded into ±1 buckets — per point O(bands)
+    explode, never the n² cross join; the exact cosh distance filter
+    runs on candidates only. Counter-based hashes: deterministic."""
+    if R is None:
+        R = _rhg_R(n, avg_degree, gamma)
+    pts = hyperbolic_points(spark, n, avg_degree, gamma, R, seed)
+    return hyperbolic_edges_from_points(pts, n, R)
 
 def dynamic_dorogovtsev_mendes_events(n: int, seed: int = 42):
     """GraphEvent rows [(type, u, v, w, t)] replaying Dorogovtsev–Mendes
@@ -810,3 +847,136 @@ def dynamic_forest_fire_events(n_steps: int, p: float,
                 in_adj[v].append(w)
             events.append(("EDGE_ADDITION", v, w, 1.0, t))
     return events
+
+
+def dynamic_pub_web_events(spark: SparkSession, n: int, n_steps: int,
+                           churn: float = 0.05, num_dense_areas: int = 10,
+                           neighborhood_radius: float = 0.05,
+                           max_neighbors: int = 16, seed: int = 42,
+                           base_weight: float = 0.01):
+    """DynamicPubWebGenerator (reference
+    DynamicPubWebGenerator.cpp:23-170): per step, ~churn·|V| nodes leave
+    (their incident edges first), the same number of fresh nodes arrive
+    at cluster/noise positions, and the radius-graph structure is
+    recomputed — edge differences become EDGE_REMOVAL / EDGE_ADDITION
+    events, each step closed by a TIME_STEP row (t column here).
+
+    Batch shape: per step ONE grid-bucketed torus radius join over the
+    surviving+new points (pub_web_edges_from_points — candidates scale
+    with local density, never n²) and one full-outer diff against the
+    previous edge set. Node churn is hash-chosen — deterministic,
+    order-free (the reference draws uniformly at random). Returns
+    (events_df, final_points_df): events carry the usual
+    (type, u, v, w, t) GraphEvent schema.
+
+    The per-step driver loop is the event-GENERATOR shape (n_steps is
+    small by construction); every per-step table is vertex/edge-sized
+    and distributed."""
+    pts = pub_web_points(spark, n, num_dense_areas, seed=seed)
+    pts = pts.persist()
+    edges = pub_web_edges_from_points(
+        pts, neighborhood_radius, max_neighbors, base_weight).persist()
+    edges.count()
+    all_events = []
+    next_id = n
+    ev_schema = "type string, u long, v long, w double, t long"
+    for t in range(1, n_steps + 1):
+        n_cur = pts.count()
+        k = int(n_cur * churn)
+        if k > 0:
+            doomed = (pts.orderBy(F.xxhash64("id", F.lit(seed), F.lit(t)))
+                      .limit(k).select("id"))
+            doomed_rows = [r["id"] for r in doomed.collect()]
+        else:
+            doomed_rows = []
+        doomed_df = spark.createDataFrame(
+            [(i,) for i in doomed_rows] or [(None,)], "id long").filter(
+            F.col("id").isNotNull())
+        survivors = pts.join(doomed_df, "id", "left_anti")
+        # fresh nodes take never-reused ids; placement law = the static
+        # generator's, salted by (step, slot)
+        fresh = pub_web_points(spark, k, num_dense_areas,
+                               seed=seed + 7919 * t).select(
+            (F.col("id") + next_id).alias("id"), "x", "y")
+        next_id += k
+        new_pts = survivors.union(fresh).persist()
+        new_edges = pub_web_edges_from_points(
+            new_pts, neighborhood_radius, max_neighbors,
+            base_weight).persist()
+        new_edges.count()
+
+        o = edges.select("src", "dst", F.col("weight").alias("w_old"))
+        nn = new_edges.select("src", "dst", F.col("weight").alias("w_new"))
+        diff = o.join(nn, ["src", "dst"], "full_outer").collect()
+        evs = []
+        for r in diff:
+            if r["w_new"] is None:
+                evs.append(("EDGE_REMOVAL", r["src"], r["dst"],
+                            float(r["w_old"]), t))
+            elif r["w_old"] is None:
+                evs.append(("EDGE_ADDITION", r["src"], r["dst"],
+                            float(r["w_new"]), t))
+        for i in doomed_rows:
+            evs.append(("NODE_REMOVAL", i, None, None, t))
+        for r in fresh.collect():
+            evs.append(("NODE_ADDITION", r["id"], None, None, t))
+        evs.append(("TIME_STEP", None, None, None, t))
+        all_events.extend(evs)
+        pts.unpersist(); edges.unpersist()
+        pts, edges = new_pts, new_edges
+    events_df = spark.createDataFrame(all_events, ev_schema)
+    return events_df, pts
+
+
+def dynamic_hyperbolic_events(spark: SparkSession, n: int, n_steps: int,
+                              move_fraction: float = 0.1,
+                              move_angle: float = 0.1,
+                              avg_degree: float = 6.0, gamma: float = 3.0,
+                              seed: int = 42):
+    """DynamicHyperbolicGenerator (reference
+    DynamicHyperbolicGenerator.cpp: per step a fraction of nodes MOVES
+    — angular drift on the hyperbolic disc — and the unit-disc
+    neighborhood graph is recomputed; edge diffs become events).
+
+    Batch shape: the angle column of the moved subset is rotated by a
+    deterministic hash jitter in [−move_angle, +move_angle]; the edge
+    set is rebuilt with the SAME banded join as the static generator
+    (rhg_edges_from_points) and diffed full-outer per step. Returns
+    (events_df, final_points_df) with points (id, r, theta)."""
+    R = _rhg_R(n, avg_degree, gamma)
+    pts = hyperbolic_points(spark, n, avg_degree=avg_degree, gamma=gamma,
+                            R=R, seed=seed).persist()
+    edges = hyperbolic_edges_from_points(pts, n, R).persist()
+    edges.count()
+    all_events = []
+    ev_schema = "type string, u long, v long, w double, t long"
+    for t in range(1, n_steps + 1):
+        moves = _u01(F.col("id"), F.lit(seed + 13 * t), F.lit(0)) \
+            < move_fraction
+        jitter = (_u01(F.col("id"), F.lit(seed + 13 * t), F.lit(1)) * 2.0
+                  - 1.0) * move_angle
+        import math as _m
+        two_pi = 2.0 * _m.pi
+        new_pts = pts.select(
+            "id", "r",
+            F.when(moves, F.pmod(F.col("theta") + jitter + two_pi,
+                                 F.lit(two_pi)))
+            .otherwise(F.col("theta")).alias("theta")).persist()
+        new_edges = hyperbolic_edges_from_points(new_pts, n, R).persist()
+        new_edges.count()
+        o = edges.select("src", "dst", F.lit(1.0).alias("w_old"))
+        nn = new_edges.select("src", "dst", F.lit(1.0).alias("w_new"))
+        diff = o.join(nn, ["src", "dst"], "full_outer") \
+            .filter(F.col("w_old").isNull() | F.col("w_new").isNull()) \
+            .collect()
+        for r in diff:
+            if r["w_new"] is None:
+                all_events.append(("EDGE_REMOVAL", r["src"], r["dst"],
+                                   1.0, t))
+            else:
+                all_events.append(("EDGE_ADDITION", r["src"], r["dst"],
+                                   1.0, t))
+        all_events.append(("TIME_STEP", None, None, None, t))
+        pts.unpersist(); edges.unpersist()
+        pts, edges = new_pts, new_edges
+    return spark.createDataFrame(all_events, ev_schema), pts

@@ -204,3 +204,65 @@ def test_hyperbolic_edges_exact_vs_bruteforce(spark):
     assert len(got) > n  # dense enough to be a real check
     bands = _rhg_bands(n, R)
     assert bands[0] == 0.0 and bands[-1] == R and len(bands) >= 4
+
+
+def test_dynamic_pub_web_events(spark):
+    from networkit_spark.sources.generators import (
+        dynamic_pub_web_events, pub_web_edges_from_points)
+
+    ev, pts = dynamic_pub_web_events(spark, n=60, n_steps=2, churn=0.1,
+                                     neighborhood_radius=0.2,
+                                     max_neighbors=6, seed=7)
+    rows = ev.collect()
+    types = {r["type"] for r in rows}
+    assert "TIME_STEP" in types and "NODE_REMOVAL" in types \
+        and "NODE_ADDITION" in types
+    # per step: 10% of 60 leave and arrive
+    t1 = [r for r in rows if r["t"] == 1]
+    assert sum(r["type"] == "NODE_REMOVAL" for r in t1) == 6
+    assert sum(r["type"] == "NODE_ADDITION" for r in t1) == 6
+    # replaying the edge diffs reproduces the final structure exactly
+    final = {(r["src"], r["dst"]) for r in
+             pub_web_edges_from_points(pts, 0.2, 6).collect()}
+    cur = set()
+    from networkit_spark.sources.generators import (
+        pub_web_points, pub_web_edges)
+    cur = {(r["src"], r["dst"]) for r in
+           pub_web_edges(spark, 60, neighborhood_radius=0.2,
+                         max_neighbors=6, seed=7).collect()}
+    for r in sorted(rows, key=lambda r: r["t"]):
+        if r["type"] == "EDGE_ADDITION":
+            cur.add((r["u"], r["v"]))
+        elif r["type"] == "EDGE_REMOVAL":
+            cur.discard((r["u"], r["v"]))
+    assert cur == final
+    # removed nodes have no surviving incident edges
+    removed = {r["u"] for r in rows if r["type"] == "NODE_REMOVAL"}
+    pts_ids = {r["id"] for r in pts.collect()}
+    assert removed.isdisjoint(pts_ids)
+
+
+def test_dynamic_hyperbolic_events(spark):
+    from networkit_spark.sources.generators import (
+        _rhg_R, dynamic_hyperbolic_events, hyperbolic_edges,
+        hyperbolic_edges_from_points)
+
+    ev, pts = dynamic_hyperbolic_events(spark, n=80, n_steps=2,
+                                        move_fraction=0.3,
+                                        move_angle=0.5, seed=11)
+    rows = ev.collect()
+    assert sum(r["type"] == "TIME_STEP" for r in rows) == 2
+    # node set is static (movement model): no node events
+    assert not any(r["type"].startswith("NODE") for r in rows)
+    # replay reproduces the final structure
+    cur = {(r["src"], r["dst"]) for r in
+           hyperbolic_edges(spark, 80, seed=11).collect()}
+    for r in sorted(rows, key=lambda r: r["t"]):
+        if r["type"] == "EDGE_ADDITION":
+            cur.add((r["u"], r["v"]))
+        elif r["type"] == "EDGE_REMOVAL":
+            cur.discard((r["u"], r["v"]))
+    final = {(r["src"], r["dst"]) for r in
+             hyperbolic_edges_from_points(
+                 pts, 80, _rhg_R(80, 6.0, 3.0)).collect()}
+    assert cur == final and len(rows) > 2  # movement produced edge churn
