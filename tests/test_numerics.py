@@ -127,3 +127,30 @@ def test_spectral_partitioner_karate(spark, karate):
     # determinism
     assert rows == {r["id"]: r["subset"] for r in
                     spectral_partitioner(g, 2).collect()}
+
+
+def test_jacobi_relaxation_converges(spark):
+    import numpy as np
+
+    from networkit_spark.operators.numerics import jacobi_relaxation
+
+    # SPD diagonally dominant system
+    A = np.array([[4.0, 1.0, 0.0], [1.0, 5.0, 2.0], [0.0, 2.0, 6.0]])
+    bvec = np.array([1.0, -2.0, 3.0])
+    rows = [(i, j, float(A[i, j])) for i in range(3) for j in range(3)
+            if A[i, j] != 0.0]
+    mdf = spark.createDataFrame(rows, "row long, col long, val double")
+    bdf = spark.createDataFrame(
+        [(i, float(bvec[i])) for i in range(3)], "id long, val double")
+    got = {r["id"]: r["val"]
+           for r in jacobi_relaxation(mdf, bdf, iters=80).collect()}
+    want = np.linalg.solve(A, bvec)
+    for i in range(3):
+        assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+
+    # missing diagonal raises
+    bad = spark.createDataFrame([(0, 1, 1.0), (1, 0, 1.0)],
+                                "row long, col long, val double")
+    import pytest as _pt
+    with _pt.raises(RuntimeError):
+        jacobi_relaxation(bad, bdf, iters=1)
