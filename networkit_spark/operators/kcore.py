@@ -25,23 +25,21 @@ Execution per superstep (all built-in, no Python in the loop):
   2. h-index via HISTOGRAM, not a per-message sort: group by (dst, c)
      → cnt (partial hash agg compresses the shuffle to distinct
      (dst, c) pairs — a hub's 10⁵ messages collapse to its few distinct
-     neighbor-core values), then a small window per dst over the
-     DISTINCT values only: cum(c) = #neighbors with core ≥ c descending,
-     and h = max(least(c, cum)). Equivalent to the h-index: for the true
-     h*, the smallest distinct value c ≥ h* has cum(c) = cnt_ge(h*) ≥ h*
-     so the max reaches h*; conversely any min(c, cum(c)) = k satisfies
-     cnt_ge(k) ≥ cum(c) ≥ k, so k ≤ h*. (The earlier ROW_NUMBER-over-
-     all-messages formulation sorted every message every round — same
-     answer and similar wall at sf0.1, where 38 fixpoint rounds ×
-     fixed per-job latency dominate; the histogram shuffles distinct
-     values instead of every message, which is what matters at scale.
-     Chaining multiple h-applications per checkpoint WITHOUT pinning
-     was measured and rejected: each application references its input
-     twice, so the un-materialized chain RECOMPUTES state 2^k times —
-     inner=4 was 2.3× slower despite 3.5× fewer checkpoints. With each
-     intermediate persist()-ed the chain is linear; at sf0.1 the state
-     is small enough that checkpoint cost is noise and inner=1 vs 3
-     measure at parity — see core_decomposition's docstring.)
+     neighbor-core values), then ONE aggregation per dst folds the
+     sorted (c, cnt) array to h = max(least(c, cum)) with
+     sort_array + aggregate (round 4: this replaced a window pass —
+     partitionBy dst + sort — deleting a whole shuffle+sort per
+     superstep). Equivalence to the h-index: for the true h*, the
+     smallest distinct value c ≥ h* has cum(c) = cnt_ge(h*) ≥ h* so the
+     max reaches h*; conversely any min(c, cum(c)) = k satisfies
+     cnt_ge(k) ≥ cum(c) ≥ k, so k ≤ h*. (Chaining multiple
+     h-applications per checkpoint WITHOUT pinning was measured and
+     rejected: each application references its input twice, so the
+     un-materialized chain RECOMPUTES state 2^k times — inner=4 was
+     2.3× slower despite 3.5× fewer checkpoints. With each intermediate
+     persist()-ed the chain is linear; at sf0.1 the state is small
+     enough that checkpoint cost is noise and inner=1 vs 3 measure at
+     parity — see core_decomposition's docstring.)
   3. new state: vertices left-join h, least(old, h), with `_changed`
      feeding the runner's convergence metric.
 Iteration count is bounded by the graph's degeneracy ordering depth —
