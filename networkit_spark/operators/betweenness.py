@@ -397,7 +397,12 @@ def weighted_betweenness(g: Graph, normalized: bool = False,
       4. backward fixpoint for the dependencies
          δ(u) = Σ_{(u,v)∈dag} σ_u/σ_v·(1 + δ(v)) — converges once the
          longest downward chain has propagated (H rounds), detected by
-         an observed per-round change count on rounded values;
+         an observed per-round change count on values rounded to 9
+         decimals (σ and H compare exactly: path counts are integers
+         below 2^53, so their float sums are order-independent; δ sums
+         of ratios are not, and the 1e-9 rounding absorbs the
+         partition-order ulp flap — at δ magnitudes ≥ ~1e7 per source,
+         switch the stop to a relative tolerance);
       5. bc(v) = Σ_{s≠v} δ_s(v) · scale.
     """
     spark = g.edges.sparkSession
