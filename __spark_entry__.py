@@ -311,6 +311,43 @@ def q_sparsify_local_degree_pp(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_jacobi_pps1w(spark, sf_dir):
+    """8 damped-Jacobi sweeps on (L+I)x = deg over the weighted
+    pp(p_size=1) graph — deterministic float recurrence, DuckDB twin
+    unrolls the same sweeps."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.degrees import weighted_out_degrees
+    from networkit_spark.operators.numerics import (
+        jacobi_relaxation, laplacian_matrix)
+    g = TG.graph_pps1_weighted(spark, sf_dir)
+    L = laplacian_matrix(g)
+    A = L.union(g.vertices.select(F.col("id").alias("row"),
+                                  F.col("id").alias("col"),
+                                  F.lit(1.0).alias("val")))
+    b = weighted_out_degrees(g).select("id", F.col("wdeg").alias("val"))
+    x = jacobi_relaxation(A, b, iters=8)
+    r6 = (F.floor(F.col("val").cast("double") * 1e6 + 0.5)
+          .cast("double") / 1e6)
+    return x.select("id", r6.alias("val"))
+
+
+def q_hub_dist_pps1_k4(spark, sf_dir):
+    """Truncated 4-hub labeling index: label construction (top-4 degree
+    hubs, ties id asc) + the min-over-common-hubs query for every
+    vertex pair — the PrunedLabeling query surface."""
+    from networkit_spark.operators.hub_labels import (
+        hub_labeling, query_distances)
+    g = TG.graph_pp_size1(spark, sf_dir)
+    labels = hub_labeling(g, n_hubs=4)
+    v = g.vertices
+    pairs = (v.select(F.col("id").alias("u"))
+             .join(v.select(F.col("id").alias("v")),
+                   F.col("u") < F.col("v")))
+    # covered pairs only: a NULL-bearing long column degrades to float64
+    # in pandas on one side but not the other — keep the dtype stable
+    return query_distances(labels, pairs).filter(F.col("d").isNotNull())
+
+
 def q_ari_pps1(spark, sf_dir):
     """Per-pair AdjustedRandIndex (bug-for-bug reference parity: b = c =
     |union|, AdjustedRandIndex.cpp:26-39) on pp(p_size=1)."""
@@ -932,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wbetweenness_pps1w": q_wbetweenness_pps1w,
         "diameter_range_pps1": q_diameter_range_pps1,
         "ari_pps1": q_ari_pps1,
+        "jacobi_pps1w": q_jacobi_pps1w,
+        "hub_dist_pps1_k4": q_hub_dist_pps1_k4,
         "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,
         "compact_lpa_pp": q_compact_lpa_pp,

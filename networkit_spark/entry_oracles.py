@@ -1756,6 +1756,24 @@ GROUP BY r1.a
     # (weight, a, b) for the unique MSF, by weight alone for the union.
     o["wbetweenness_pps1w"] = _wbetweenness_pps1w_sql(16)
 
+    o["jacobi_pps1w"] = _jacobi_pps1w_sql(8)
+
+    o["hub_dist_pps1_k4"] = f"""
+WITH {PP},
+{_brandes_unrolled(12)},
+hdeg AS (SELECT src AS id, COUNT(*) AS cnt FROM psym GROUP BY 1),
+hubs AS (SELECT id FROM hdeg ORDER BY cnt DESC, id ASC LIMIT 4),
+labels AS (
+  SELECT v, s AS hub, d FROM dist WHERE s IN (SELECT id FROM hubs)
+),
+pairs AS (SELECT a.id AS u, b.id AS v FROM pv a JOIN pv b ON a.id < b.id)
+SELECT p.u, p.v, CAST(MIN(lu.d + lv.d) AS BIGINT) AS d
+FROM pairs p
+JOIN labels lu ON lu.v = p.u
+JOIN labels lv ON lv.hub = lu.hub AND lv.v = p.v
+GROUP BY 1, 2
+"""
+
     o["ari_pps1"] = f"""
 WITH {PP},
 pv AS (SELECT p_partkey AS id FROM part WHERE p_size = 1),
@@ -2029,5 +2047,63 @@ bc AS (
 SELECT p.id,
        (FLOOR(COALESCE(bc.score, 0.0) * 1e6 + 0.5) / 1e6 + 0.0) AS score
 FROM p1v p LEFT JOIN bc ON bc.id = p.id
+""")
+    return "".join(parts)
+
+
+def _jacobi_pps1w_sql(sweeps: int) -> str:
+    """Unrolled DuckDB twin of numerics.jacobi_relaxation on
+    (L+I)x = wdeg over the weighted pp(p_size=1) graph: the matrix is
+    built exactly like laplacian_matrix (off-diag −w both orientations,
+    diag from the off rows) plus identity rows, duplicates coalesced by
+    SUM as the operator does; each sweep is one SpMV join+agg and one
+    column update."""
+    parts = [f"WITH {PPS1W},", """
+wsym AS MATERIALIZED (
+  SELECT a AS src, b AS dst, w FROM p1e
+  UNION ALL SELECT b AS src, a AS dst, w FROM p1e
+),
+lap_off AS MATERIALIZED (
+  SELECT a AS row, b AS col, -w AS val FROM p1e
+  UNION ALL SELECT b AS row, a AS col, -w AS val FROM p1e
+),
+lap_diag AS MATERIALIZED (
+  SELECT row, row AS col, -SUM(val) AS val FROM lap_off GROUP BY 1
+),
+amat AS MATERIALIZED (
+  SELECT row, col, SUM(val) AS val FROM (
+    SELECT * FROM lap_off
+    UNION ALL SELECT * FROM lap_diag
+    UNION ALL SELECT id AS row, id AS col, 1.0 AS val FROM p1v
+  ) GROUP BY 1, 2
+),
+dinv AS MATERIALIZED (
+  SELECT row AS id, 1.0 / val AS dinv FROM amat
+  WHERE row = col AND val <> 0
+),
+bv AS MATERIALIZED (
+  SELECT v.id, COALESCE(s.d, 0.0) AS val FROM p1v v
+  LEFT JOIN (SELECT src AS id, SUM(w) AS d FROM wsym GROUP BY 1) s
+    ON s.id = v.id
+),
+jx0 AS MATERIALIZED (SELECT id, 0.0 AS val FROM p1v),"""]
+    for i in range(1, sweeps + 1):
+        parts.append(f"""
+jax{i} AS MATERIALIZED (
+  SELECT m.col AS id, SUM(m.val * x.val) AS val
+  FROM amat m JOIN jx{i - 1} x ON x.id = m.row GROUP BY 1
+),
+jx{i} AS MATERIALIZED (
+  SELECT x.id,
+         x.val + (2.0 / 3.0) * d.dinv
+               * (b.val - COALESCE(a.val, 0.0)) AS val
+  FROM jx{i - 1} x
+  JOIN dinv d ON d.id = x.id
+  JOIN bv b ON b.id = x.id
+  LEFT JOIN jax{i} a ON a.id = x.id
+),""")
+    parts.append(f"""
+jfinal AS (SELECT * FROM jx{sweeps})
+SELECT id, (FLOOR(val * 1e6 + 0.5) / 1e6 + 0.0) AS val FROM jfinal
 """)
     return "".join(parts)
