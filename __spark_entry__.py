@@ -311,6 +311,31 @@ def q_sparsify_local_degree_pp(spark, sf_dir):
         "lo", "hi", _r6(F.col("score")).alias("score"))
 
 
+def q_emb_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.4, exact
+    all-pairs baseline — the LSH-bucketed path is the scale variant)."""
+    from networkit_spark.functions.similarity import cosine_dup_pairs
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    return cosine_dup_pairs(emb, threshold=0.4).select(
+        "a", "b", _r6(F.col("cos")).alias("cos"))
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs (threshold 0.8) over the
+    documents table — the n-gram flavor of near-dup detection (exact
+    all-pairs at gate scale; candidate-restricted via LSH at corpus
+    scale)."""
+    from networkit_spark.functions.dedup import ngram_jaccard_pairs
+    r6 = (F.floor(F.col("jaccard").cast("double") * 1e6 + 0.5)
+          .cast("double") / 1e6)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                               threshold=0.8).select(
+        "a", "b", r6.alias("jaccard"))
+
+
 def q_jacobi_pps1w(spark, sf_dir):
     """8 damped-Jacobi sweeps on (L+I)x = deg over the weighted
     pp(p_size=1) graph — deterministic float recurrence, DuckDB twin
@@ -970,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_range_pps1": q_diameter_range_pps1,
         "ari_pps1": q_ari_pps1,
         "jacobi_pps1w": q_jacobi_pps1w,
+        "emb_cosine_dups": q_emb_cosine_dups,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "hub_dist_pps1_k4": q_hub_dist_pps1_k4,
         "algdist_pp": q_algdist_pp,
         "edge_ids_pp": q_edge_ids_pp,

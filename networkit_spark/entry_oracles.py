@@ -1272,6 +1272,37 @@ JOIN sizes sb ON sb.id = v.b
 """
 
     # -- embeddings ------------------------------------------------------
+    cos_ab = _COS.format(a="x.v", b="y.v")
+    o["emb_cosine_dups"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       (ROUND({cos_ab}, 6) + 0.0) AS cos
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE {cos_ab} >= 0.4
+"""
+
+    o["docs_ngram_jaccard"] = r"""
+WITH grams AS (
+  SELECT DISTINCT doc_id AS id, SUBSTRING(text, i, 3) AS g
+  FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 3
+),
+sz AS (SELECT id, COUNT(*) AS sz FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+       (FLOOR(CAST(i.i AS DOUBLE) / (s1.sz + s2.sz - i.i) * 1e6 + 0.5)
+        / 1e6 + 0.0) AS jaccard
+FROM inter i
+JOIN sz s1 ON s1.id = i.a
+JOIN sz s2 ON s2.id = i.b
+WHERE CAST(i.i AS DOUBLE) / (s1.sz + s2.sz - i.i) >= 0.8
+"""
+
     cos_qc = _COS.format(a="q.v", b="c.v")
     o["ann_cosine_top5"] = f"""
 WITH {EMB},

@@ -153,6 +153,26 @@ def lsh_bucket_pairs(emb: DataFrame, planes: int = 8, id_col: str = "vec_id",
     )
 
 
+def cosine_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     pairs: DataFrame | None = None) -> DataFrame:
+    """(a, b, cos): embedding-cosine near-duplicate pairs (a < b) with
+    cosine ≥ threshold — the embedding flavor of near-dup detection.
+    ``pairs`` restricts verification to a candidate set (the
+    lsh_bucket_pairs fast path — cost linear in candidates); without it
+    the join is the exact all-pairs baseline (quadratic — fine for
+    validation scale, use the LSH path on a real corpus)."""
+    x = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    y = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if pairs is not None:
+        cand = pairs.select("a", "b").join(x, "a").join(y, "b")
+    else:
+        cand = x.join(y, F.col("a") < F.col("b"))
+    return (cand
+            .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def train_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 42) -> list[list[float]]:
