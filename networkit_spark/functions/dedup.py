@@ -81,23 +81,9 @@ def minhashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     return dt.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
-                        id_col: str = "doc_id", text_col: str = "text",
-                        shingle: int = 1,
-                        max_bucket: int | None = 4096) -> DataFrame:
-    """(a, b) candidate near-duplicate pairs (a < b): docs sharing at least
-    one LSH band (band = r = k/bands consecutive minhashes).
-
-    Hot-bucket guard: a band bucket holding B near-identical documents
-    (mass-duplicated boilerplate, license headers — the first real-corpus
-    failure mode) emits B² candidate pairs. Buckets larger than
-    ``max_bucket`` are EXCLUDED from the self-join, and the exclusion is
-    LOGGED (bucket count + total memberships via the
-    ``networkit_spark.dedup`` logger) — never a silent cap. Members of a
-    dropped bucket are exact-or-near-exact duplicates by construction;
-    collapse them with :func:`exact_duplicates` (one hash agg) instead of
-    enumerating the quadratic pair set. ``max_bucket=None`` disables the
-    guard."""
+def _band_rows(docs: DataFrame, k: int, bands: int, id_col: str,
+               text_col: str, shingle: int) -> DataFrame:
+    """(id, band) LSH band-key membership rows (bands · n_docs rows)."""
     assert k % bands == 0
     r = k // bands
     mh = minhashes(docs, k, id_col, text_col, shingle=shingle)
@@ -109,22 +95,46 @@ def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
         )
         rows = mh.select("id", key.alias("band"))
         band_rows = rows if band_rows is None else band_rows.unionByName(rows)
-    if max_bucket is not None:
-        import logging
+    return band_rows
 
-        sizes = band_rows.groupBy("band").agg(
-            F.count(F.lit(1)).alias("bsz"))
-        hot = sizes.filter(F.col("bsz") > max_bucket)
-        stats = hot.agg(F.count(F.lit(1)).alias("nb"),
-                        F.sum("bsz").alias("members")).collect()[0]
-        if int(stats["nb"] or 0):
-            logging.getLogger("networkit_spark.dedup").warning(
-                "lsh_candidate_pairs: dropped %d hot band bucket(s) "
-                "(> %d members; %d doc-memberships total) from the "
-                "candidate join — collapse exact duplicates first",
-                int(stats["nb"]), max_bucket, int(stats["members"]))
-        band_rows = band_rows.join(
-            hot.select("band"), "band", "left_anti")
+
+def lsh_hot_buckets(docs: DataFrame, k: int = 8, bands: int = 4,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    shingle: int = 1, max_bucket: int = 4096) -> DataFrame:
+    """(band, bsz): the band buckets a guarded :func:`lsh_candidate_pairs`
+    call with the same ``max_bucket`` excludes — the drop set surfaced as
+    data (run it when you want the drop accounted for, instead of paying
+    an eager stats job inside every candidate-pair call)."""
+    return (_band_rows(docs, k, bands, id_col, text_col, shingle)
+            .groupBy("band").agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket))
+
+
+def lsh_candidate_pairs(docs: DataFrame, k: int = 8, bands: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        shingle: int = 1,
+                        max_bucket: int | None = None) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs (a < b): docs sharing at least
+    one LSH band (band = r = k/bands consecutive minhashes).
+
+    Hot-bucket guard (opt-in): a band bucket holding B near-identical
+    documents (mass-duplicated boilerplate, license headers — the first
+    real-corpus failure mode) emits B² candidate pairs. With
+    ``max_bucket=N`` set, buckets larger than N are excluded from the
+    self-join. The guard is a plan-level semi-join against the
+    small-bucket set — no extra Spark job (the band-table exchange is
+    shared via ReuseExchange), no eager stats collect. The excluded set
+    is surfaced as DATA by :func:`lsh_hot_buckets` (same ``max_bucket``),
+    not a silent cap: members of a dropped bucket are exact-or-near-exact
+    duplicates by construction; collapse them with
+    :func:`exact_duplicates` (one hash agg) instead of enumerating the
+    quadratic pair set. Default ``None`` keeps exact LSH semantics."""
+    band_rows = _band_rows(docs, k, bands, id_col, text_col, shingle)
+    if max_bucket is not None:
+        cold = (band_rows.groupBy("band")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .filter(F.col("bsz") <= max_bucket))
+        band_rows = band_rows.join(cold.select("band"), "band", "left_semi")
     a = band_rows.alias("x")
     b = band_rows.alias("y")
     return (

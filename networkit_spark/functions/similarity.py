@@ -122,29 +122,34 @@ def assign_cells(emb: DataFrame, planes: int = 4, id_col: str = "vec_id",
     return emb.select(F.col(id_col).alias("id"), cell.alias("cell"))
 
 
+def lsh_hot_cells(emb: DataFrame, planes: int = 8, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  max_bucket: int = 4096) -> DataFrame:
+    """(cell, csz): the cells a guarded :func:`lsh_bucket_pairs` call with
+    the same ``max_bucket`` excludes — the drop set surfaced as data."""
+    return (assign_cells(emb, planes, id_col, vec_col)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
+            .filter(F.col("csz") > max_bucket))
+
+
 def lsh_bucket_pairs(emb: DataFrame, planes: int = 8, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     max_bucket: int | None = 4096) -> DataFrame:
+                     max_bucket: int | None = None) -> DataFrame:
     """(a, b): candidate similar pairs — vectors sharing an LSH cell.
 
-    Hot-bucket guard (same rationale as dedup.lsh_candidate_pairs): a
-    cell of B near-identical vectors yields B² pairs; cells larger than
-    ``max_bucket`` are excluded from the self-join with a LOGGED drop
-    count — collapse exact-duplicate vectors first. ``None`` disables."""
+    Hot-bucket guard (opt-in; same rationale and shape as
+    dedup.lsh_candidate_pairs): a cell of B near-identical vectors yields
+    B² pairs; with ``max_bucket=N`` set, cells larger than N are excluded
+    via a plan-level semi-join against the small-cell set — no extra
+    Spark job, no eager stats collect. The excluded set is surfaced as
+    data by :func:`lsh_hot_cells`; collapse exact-duplicate vectors
+    first. Default ``None`` keeps exact LSH semantics."""
     cells = assign_cells(emb, planes, id_col, vec_col)
     if max_bucket is not None:
-        import logging
-
-        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("csz"))
-        hot = sizes.filter(F.col("csz") > max_bucket)
-        stats = hot.agg(F.count(F.lit(1)).alias("nc"),
-                        F.sum("csz").alias("members")).collect()[0]
-        if int(stats["nc"] or 0):
-            logging.getLogger("networkit_spark.similarity").warning(
-                "lsh_bucket_pairs: dropped %d hot cell(s) (> %d members; "
-                "%d vector-memberships) from the candidate join",
-                int(stats["nc"]), max_bucket, int(stats["members"]))
-        cells = cells.join(hot.select("cell"), "cell", "left_anti")
+        cold = (cells.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("csz"))
+                .filter(F.col("csz") <= max_bucket))
+        cells = cells.join(cold.select("cell"), "cell", "left_semi")
     x, y = cells.alias("x"), cells.alias("y")
     return (
         x.join(y, (F.col("x.cell") == F.col("y.cell"))

@@ -522,9 +522,13 @@ def weighted_betweenness(g: Graph, normalized: bool = False,
             .select("s", "v", "sigma",
                     F.coalesce("nd", F.lit(0.0)).alias("ndelta"), "delta")
             .select("s", "v", "sigma", F.col("ndelta").alias("delta"),
-                    (F.round(F.col("ndelta"), 9)
-                     != F.round(F.col("delta"), 9)).cast("long")
-                    .alias("_chg"))
+                    # relative tolerance: rounded equality can oscillate
+                    # forever when a value straddles a 1e-9 rounding
+                    # midpoint under partition-order float jitter
+                    (F.abs(F.col("ndelta") - F.col("delta"))
+                     > F.lit(1e-9) * F.greatest(F.lit(1.0),
+                                                F.abs(F.col("delta"))))
+                    .cast("long").alias("_chg"))
         )
         delta, m = sc.cut_observed(
             new, [F.sum("_chg").alias("chg")],

@@ -908,18 +908,24 @@ def dynamic_pub_web_events(spark: SparkSession, n: int, n_steps: int,
         o = edges.select("src", "dst", F.col("weight").alias("w_old"))
         nn = new_edges.select("src", "dst", F.col("weight").alias("w_new"))
         diff = o.join(nn, ["src", "dst"], "full_outer").collect()
+        # strict-replayer ordering (reference emits node arrivals before
+        # the edges that touch them, DynamicPubWebGenerator.cpp — a
+        # GraphUpdater-style replayer rejects an edge on a nonexistent
+        # node): edge removals, node removals, node additions, edge
+        # additions, TIME_STEP.
         evs = []
         for r in diff:
             if r["w_new"] is None:
                 evs.append(("EDGE_REMOVAL", r["src"], r["dst"],
                             float(r["w_old"]), t))
-            elif r["w_old"] is None:
-                evs.append(("EDGE_ADDITION", r["src"], r["dst"],
-                            float(r["w_new"]), t))
         for i in doomed_rows:
             evs.append(("NODE_REMOVAL", i, None, None, t))
         for r in fresh.collect():
             evs.append(("NODE_ADDITION", r["id"], None, None, t))
+        for r in diff:
+            if r["w_old"] is None:
+                evs.append(("EDGE_ADDITION", r["src"], r["dst"],
+                            float(r["w_new"]), t))
         evs.append(("TIME_STEP", None, None, None, t))
         all_events.extend(evs)
         pts.unpersist(); edges.unpersist()

@@ -327,9 +327,21 @@ def update_betweenness(g: Graph, bc: DataFrame, dist: DataFrame,
     ins_dir = ins if g.directed else ins.union(
         ins.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
 
-    # 1. affected sources: dist(s,u) + w <= dist(s,v), unreachable = inf
-    du = dist.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
-    dv = dist.select("s", F.col("v").alias("v"), F.col("d").alias("dv"))
+    # 1. affected sources: dist(s,u) + w <= dist(s,v), unreachable = inf.
+    # The maintained dist table (closeness._dist_rows shape) carries
+    # d >= 1 rows only — without the d(s,s)=0 diagonal, a source that is
+    # itself an inserted-edge endpoint u would never fire the rule
+    # dist(s,u) + w <= dist(s,v) for s = u (and on undirected graphs a
+    # component-joining insert has neither dist(u,u) nor dist(u,v)), so
+    # its dependencies would silently never be repaired. Normalize the
+    # diagonal in over every known vertex before building du/dv.
+    diag = g.vertices.select(F.col("id").alias("s"),
+                             F.col("id").alias("v"),
+                             F.lit(0.0).alias("d"))
+    dist_n = (dist.select("s", "v", F.col("d").cast("double").alias("d"))
+              .union(diag).groupBy("s", "v").agg(F.min("d").alias("d")))
+    du = dist_n.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = dist_n.select("s", F.col("v").alias("v"), F.col("d").alias("dv"))
     aff = (
         du.join(F.broadcast(ins_dir), "u")
         .join(dv, ["s", "v"], "left")

@@ -250,6 +250,55 @@ def test_dyn_betweenness_new_vertex_and_noop(spark):
         update_betweenness(g, bc0, dist0, bad)
 
 
+def test_dyn_betweenness_directed_source_endpoint(spark):
+    """ADVICE r4 (high): on a directed graph, the source endpoint u of
+    an insert (u, x) is itself an affected source — detecting it needs
+    the d(s,s)=0 diagonal (the rule dist(s,u)+w<=dist(s,v) with s=u).
+    The maintained dist table has no diagonal, so the operator must
+    normalize it in."""
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.streaming.dyn import update_betweenness
+
+    # 0->1->2, 3->4 ; insert 1->3: source 1 gains paths through 3
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (3, 4)], directed=True)
+    bc0 = betweenness(g)
+    dist0 = _apsp_rows(spark, g)
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 1, 3, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, bc2, dist2 = update_betweenness(g, bc0, dist0, ev)
+    got = {r["id"]: r["score"] for r in bc2.collect()}
+    want = {r["id"]: r["score"] for r in betweenness(g2).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_dyn_betweenness_undirected_component_join(spark):
+    """ADVICE r4 (high): an undirected insert joining two components has
+    neither dist(u,u) nor dist(u,v) in the maintained table — sources u
+    and v themselves must still be repaired."""
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.streaming.dyn import update_betweenness
+
+    # components {0-1} and {2-3}; insert (1,2) bridges them
+    g = Graph.from_rows(spark, [(0, 1), (2, 3)], directed=False)
+    bc0 = betweenness(g)
+    dist0 = _apsp_rows(spark, g)
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 1, 2, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, bc2, dist2 = update_betweenness(g, bc0, dist0, ev)
+    got = {r["id"]: r["score"] for r in bc2.collect()}
+    want = {r["id"]: r["score"] for r in betweenness(g2).collect()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    d_want = {(r["s"], r["v"]): r["d"]
+              for r in _apsp_rows(spark, g2).collect()}
+    d_got = {(r["s"], r["v"]): r["d"]
+             for r in dist2.filter("s != v").collect()}
+    assert d_got == {k: float(v) for k, v in d_want.items()}
+
+
 def test_dyn_betweenness_weighted(spark):
     from networkit_spark.operators.betweenness import weighted_betweenness
     from networkit_spark.streaming.dyn import update_betweenness

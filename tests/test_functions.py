@@ -204,26 +204,30 @@ def test_frame_sampling(spark):
     assert {(r["media_id"], r["frame_idx"]) for r in rows} == {(1, 0), (1, 1), (1, 2)}
 
 
-def test_lsh_hot_bucket_guard(spark, caplog):
-    import logging
-
-    from networkit_spark.functions.dedup import lsh_candidate_pairs
+def test_lsh_hot_bucket_guard(spark):
+    from networkit_spark.functions.dedup import (
+        lsh_candidate_pairs, lsh_hot_buckets)
 
     # 30 identical docs (one hot bucket) + 2 distinct near-dups
     rows = [(i, "same boilerplate license header text") for i in range(30)]
     rows += [(100, "a unique document about graph engines"),
              (101, "a unique document about graph engine")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    with caplog.at_level(logging.WARNING, logger="networkit_spark.dedup"):
-        pairs = lsh_candidate_pairs(docs, k=8, bands=4, max_bucket=8)
-        got = {(r["a"], r["b"]) for r in pairs.collect()}
-    # the 30-doc boilerplate bucket (435 pairs) is dropped AND logged;
-    # the small near-dup pair survives
+    pairs = lsh_candidate_pairs(docs, k=8, bands=4, max_bucket=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # the 30-doc boilerplate bucket (435 pairs) is dropped; the small
+    # near-dup pair survives
     assert all(a >= 100 for a, b in got)
-    assert any("hot band bucket" in r.message for r in caplog.records)
-    # uncapped: the quadratic pair set comes back
-    alln = lsh_candidate_pairs(docs, k=8, bands=4, max_bucket=None).count()
+    # the drop set is surfaced as data (not a silent cap)
+    hot = lsh_hot_buckets(docs, k=8, bands=4, max_bucket=8).collect()
+    assert len(hot) >= 1 and all(r["bsz"] == 30 for r in hot)
+    # default (no guard): the quadratic pair set comes back
+    alln = lsh_candidate_pairs(docs, k=8, bands=4).count()
     assert alln >= 435
+    # the guard adds zero extra Spark jobs: it is a single lazy plan —
+    # the band-table exchange is reused, the sizes agg folds into the join
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
 
 
 def test_ann_recall_floor(emb):
