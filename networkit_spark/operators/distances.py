@@ -144,10 +144,20 @@ def sssp(g: Graph, source: int, max_iter: int = 200,
     return out
 
 
-def k_hop_pairs(g: Graph, max_h: int) -> DataFrame:
+def k_hop_pairs(g: Graph, max_h: int, scratch=None) -> DataFrame:
     """(id, other, dist): exact pairwise hop distances up to max_h — the
     exact neighborhood function substrate (O(n·reach) rows: test scale /
-    oracle parity only; the scale path is hll_neighborhood_function)."""
+    oracle parity only; the scale path is hll_neighborhood_function).
+
+    Per-hop lineage cuts go through a :class:`Scratch` under the shared
+    state root (docs/PLANS.md rule 1 — cluster-portable, unlike
+    localCheckpoint). Pass a ``scratch`` you own to control cleanup
+    (the returned frame reads its files); otherwise an internal one is
+    created and its files back the result until scratch GC."""
+    from networkit_spark.plans.scratch import Scratch
+
+    sc = scratch if scratch is not None else Scratch(
+        g.edges.sparkSession, "khop")
     edges = _out_edges(g).select("src", "dst").distinct()
     cur = g.vertices.select(F.col("id"), F.col("id").alias("other"),
                             F.lit(0).alias("dist"))
@@ -162,25 +172,33 @@ def k_hop_pairs(g: Graph, max_h: int) -> DataFrame:
                   ["id", "other"], "left_anti")
             .withColumn("dist", F.lit(h))
         )
-        nxt = nxt.localCheckpoint(eager=True) if h < max_h else nxt
+        nxt = sc.cut(nxt, name=f"hop{h}") if h < max_h else nxt
         all_pairs = all_pairs.unionByName(nxt)
     return all_pairs
 
 
 def neighborhood_function(g: Graph, max_h: int) -> DataFrame:
     """(h, pairs): number of ordered pairs within distance ≤ h (h ≥ 1) —
-    exact NeighborhoodFunction."""
-    pairs = k_hop_pairs(g, max_h)
-    per_h = (
-        pairs.filter("dist > 0")
-        .groupBy("dist").agg(F.count(F.lit(1)).alias("at_h"))
-    )
+    exact NeighborhoodFunction. The pair materialization lives in a
+    Scratch that is cleaned up before returning; only the ≤ max_h
+    (h, count) rows survive (rebuilt driver-side — bounded by max_h)."""
+    from networkit_spark.plans.scratch import Scratch
+
     spark = g.edges.sparkSession
-    hs = spark.range(1, max_h + 1).select(F.col("id").alias("h"))
-    return (
-        hs.join(per_h, hs.h >= per_h.dist, "left")
-        .groupBy("h").agg(F.coalesce(F.sum("at_h"), F.lit(0)).alias("pairs"))
-    )
+    sc = Scratch(spark, "nf")
+    try:
+        pairs = k_hop_pairs(g, max_h, scratch=sc)
+        per_h = {int(r["dist"]): int(r["at_h"]) for r in
+                 pairs.filter("dist > 0")
+                 .groupBy("dist").agg(F.count(F.lit(1)).alias("at_h"))
+                 .collect()}
+    finally:
+        sc.cleanup()
+    rows, cum = [], 0
+    for h in range(1, max_h + 1):
+        cum += per_h.get(h, 0)
+        rows.append((h, cum))
+    return spark.createDataFrame(rows, "h long, pairs long")
 
 
 def effective_diameter(g: Graph, ratio: float = 0.9, max_h: int = 64,
@@ -188,13 +206,18 @@ def effective_diameter(g: Graph, ratio: float = 0.9, max_h: int = 64,
     """Smallest h with NF(h) ≥ ratio · NF(max): EffectiveDiameter
     semantics (the reference's approximation stops at the same ratio,
     EffectiveDiameterApproximation.cpp:96-118; integer h, no
-    interpolation)."""
-    nf = neighborhood_function(g, max_h).collect()
-    by_h = sorted((int(r["h"]), int(r["pairs"])) for r in nf)
+    interpolation). ``exact=False`` takes the ANF-faithful HLL sketch
+    path (hll_neighborhood_function) — per-hop cost is one shuffle of
+    fixed-size sketches, never the O(n·ball) pair materialization."""
+    if exact:
+        nf = neighborhood_function(g, max_h).collect()
+        by_h = sorted((int(r["h"]), float(r["pairs"])) for r in nf)
+    else:
+        nf = hll_neighborhood_function(g, max_h).collect()
+        by_h = sorted((int(r["h"]), float(r["pairs_est"])) for r in nf)
     if not by_h:
         return 0.0
     total = by_h[-1][1]
-    # stop growing h once NF saturates
     for h, p in by_h:
         if p >= ratio * total:
             return float(h)

@@ -208,8 +208,12 @@ def page_rank_nibble(g: Graph, seed: int, alpha: float = 0.15,
         sw.unpersist()
         return g.vertices.sparkSession.createDataFrame([(seed,)], "id long")
     k = best[0]["rank"]
-    out = sw.filter(F.col("rank") <= k).select("id")
-    out = out.sparkSession.createDataFrame(out.collect(), out.schema)
+    # executor-side lineage cut detaching the result from the
+    # to-be-unpersisted sweep table (no driver round-trip)
+    from networkit_spark.plans.scratch import Scratch
+
+    sc = Scratch(g.vertices.sparkSession, "nibble")
+    out = sc.cut(sw.filter(F.col("rank") <= k).select("id"))
     sw.unpersist()
     return out
 
