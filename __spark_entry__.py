@@ -962,66 +962,12 @@ def q_partition_sim_pp(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order = the driver's CORRECTNESS window (first ~50).
+    # Round-5 rotation: the 23 queries that have never earned a driver
+    # row lead, then core regressions fill the window; the union across
+    # rounds covers all 82.
     return {
-        "edges_cs": q_edges_cs,
-        "degrees_cs": q_degrees_cs,
-        "wdegrees_cs": q_wdegrees_cs,
-        "pagerank_cs_k10": q_pagerank_cs_k10,
-        "cc_pp": q_cc_pp,
-        "cc_star_pp": q_cc_star_pp,
-        "cc_sizes_pp": q_cc_sizes_pp,
-        "triangles_pp": q_triangles_pp,
-        "global_triangles_pp": q_global_triangles_pp,
-        "lcc_pp": q_lcc_pp,
-        "lpa_pp_k4": q_lpa_pp_k4,
-        "modularity_pp_lpa4": q_modularity_pp_lpa4,
-        "supplier_common_customers": q_supplier_common_customers,
-        "supplier_jaccard": q_supplier_jaccard,
-        "supplier_adamic_adar": q_supplier_adamic_adar,
-        "supplier_resource_alloc": q_supplier_resource_alloc,
-        "coarsen_cs_by_nation": q_coarsen_cs_by_nation,
-        "assortativity_pp": q_assortativity_pp,
-        "bfs_cs_d6": q_bfs_cs_d6,
-        "eigen_pp_k8": q_eigen_pp_k8,
-        "katz_pp_k8": q_katz_pp_k8,
-        "sssp_cs": q_sssp_cs,
-        "kcore_pp": q_kcore_pp,
-        "nf_pp_h3": q_nf_pp_h3,
-        "sparsify_jaccard_pp": q_sparsify_jaccard_pp,
-        "sparsify_scan_pp": q_sparsify_scan_pp,
-        "sparsify_local_degree_pp": q_sparsify_local_degree_pp,
-        "sparsify_ccts_pp": q_sparsify_ccts_pp,
-        "wbetweenness_pps1w": q_wbetweenness_pps1w,
-        "diameter_range_pps1": q_diameter_range_pps1,
-        "ari_pps1": q_ari_pps1,
-        "jacobi_pps1w": q_jacobi_pps1w,
-        "emb_cosine_dups": q_emb_cosine_dups,
-        "docs_ngram_jaccard": q_docs_ngram_jaccard,
-        "hub_dist_pps1_k4": q_hub_dist_pps1_k4,
-        "algdist_pp": q_algdist_pp,
-        "edge_ids_pp": q_edge_ids_pp,
-        "compact_lpa_pp": q_compact_lpa_pp,
-        "spanning_forest_count_pp": q_spanning_forest_count_pp,
-        "missing_links_count_pp": q_missing_links_count_pp,
-        "docs_token_stats": q_docs_token_stats,
-        "docs_language_id": q_docs_language_id,
-        "docs_fingerprint": q_docs_fingerprint,
-        "docs_bpe_tokens": q_docs_bpe_tokens,
-        "docs_exact_dups": q_docs_exact_dups,
-        "docs_minhash": q_docs_minhash,
-        "docs_lsh_pairs": q_docs_lsh_pairs,
-        "docs_simhash": q_docs_simhash,
-        "docs_lsh_jaccard": q_docs_lsh_jaccard,
-        "ann_cosine_top5": q_ann_cosine_top5,
-        "ann_ivf_top3": q_ann_ivf_top3,
-        "ann_lsh_cells": q_ann_lsh_cells,
-        "ann_ivf_lsh_top3": q_ann_ivf_lsh_top3,
-        "embedding_centroids": q_embedding_centroids,
-        "events_hourly": q_events_hourly,
-        "events_type_stats": q_events_type_stats,
-        "events_top_users": q_events_top_users,
-        "betweenness_pps1": q_betweenness_pps1,
-        "harmonic_pps1": q_harmonic_pps1,
+        # --- never driver-checked through round 4 (rotation block) ---
         "ecc_pps1": q_ecc_pps1,
         "hyperbolicity_pps1": q_hyperbolicity_pps1,
         "approx_betweenness_pps1": q_approx_betweenness_pps1,
@@ -1045,6 +991,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,
         "corpus_scc": q_corpus_scc,
+        # --- core regressions (window filler) ---
+        "edges_cs": q_edges_cs,
+        "degrees_cs": q_degrees_cs,
+        "wdegrees_cs": q_wdegrees_cs,
+        "pagerank_cs_k10": q_pagerank_cs_k10,
+        "cc_pp": q_cc_pp,
+        "cc_star_pp": q_cc_star_pp,
+        "cc_sizes_pp": q_cc_sizes_pp,
+        "triangles_pp": q_triangles_pp,
+        "global_triangles_pp": q_global_triangles_pp,
+        "lcc_pp": q_lcc_pp,
+        "lpa_pp_k4": q_lpa_pp_k4,
+        "modularity_pp_lpa4": q_modularity_pp_lpa4,
+        "kcore_pp": q_kcore_pp,
+        "betweenness_pps1": q_betweenness_pps1,
+        "wbetweenness_pps1w": q_wbetweenness_pps1w,
+        "diameter_range_pps1": q_diameter_range_pps1,
+        "bfs_cs_d6": q_bfs_cs_d6,
+        "sssp_cs": q_sssp_cs,
+        "assortativity_pp": q_assortativity_pp,
+        "edge_ids_pp": q_edge_ids_pp,
+        "hub_dist_pps1_k4": q_hub_dist_pps1_k4,
+        "docs_exact_dups": q_docs_exact_dups,
+        "docs_lsh_jaccard": q_docs_lsh_jaccard,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "emb_cosine_dups": q_emb_cosine_dups,
+        "ann_cosine_top5": q_ann_cosine_top5,
+        "events_hourly": q_events_hourly,
+        # --- balance of the registry ---
+        "supplier_common_customers": q_supplier_common_customers,
+        "supplier_jaccard": q_supplier_jaccard,
+        "supplier_adamic_adar": q_supplier_adamic_adar,
+        "supplier_resource_alloc": q_supplier_resource_alloc,
+        "coarsen_cs_by_nation": q_coarsen_cs_by_nation,
+        "eigen_pp_k8": q_eigen_pp_k8,
+        "katz_pp_k8": q_katz_pp_k8,
+        "nf_pp_h3": q_nf_pp_h3,
+        "sparsify_jaccard_pp": q_sparsify_jaccard_pp,
+        "sparsify_scan_pp": q_sparsify_scan_pp,
+        "sparsify_local_degree_pp": q_sparsify_local_degree_pp,
+        "sparsify_ccts_pp": q_sparsify_ccts_pp,
+        "ari_pps1": q_ari_pps1,
+        "jacobi_pps1w": q_jacobi_pps1w,
+        "algdist_pp": q_algdist_pp,
+        "compact_lpa_pp": q_compact_lpa_pp,
+        "spanning_forest_count_pp": q_spanning_forest_count_pp,
+        "missing_links_count_pp": q_missing_links_count_pp,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_language_id": q_docs_language_id,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_bpe_tokens": q_docs_bpe_tokens,
+        "docs_minhash": q_docs_minhash,
+        "docs_lsh_pairs": q_docs_lsh_pairs,
+        "docs_simhash": q_docs_simhash,
+        "ann_ivf_top3": q_ann_ivf_top3,
+        "ann_lsh_cells": q_ann_lsh_cells,
+        "ann_ivf_lsh_top3": q_ann_ivf_lsh_top3,
+        "embedding_centroids": q_embedding_centroids,
+        "events_type_stats": q_events_type_stats,
+        "events_top_users": q_events_top_users,
+        "harmonic_pps1": q_harmonic_pps1,
     }
 
 
