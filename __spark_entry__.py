@@ -357,13 +357,15 @@ def q_jacobi_pps1w(spark, sf_dir):
 
 
 def q_hub_dist_pps1_k4(spark, sf_dir):
-    """Truncated 4-hub labeling index: label construction (top-4 degree
-    hubs, ties id asc) + the min-over-common-hubs query for every
-    vertex pair — the PrunedLabeling query surface."""
+    """Truncated 4-hub labeling index with batch dominance PRUNING
+    (top-4 degree hubs, ties id asc) + the min-over-common-hubs query
+    for every vertex pair — the PrunedLabeling surface. Pruning shrinks
+    the index without changing any query answer (exactness argument in
+    hub_labels.prune_labels), so the unpruned oracle stays valid."""
     from networkit_spark.operators.hub_labels import (
         hub_labeling, query_distances)
     g = TG.graph_pp_size1(spark, sf_dir)
-    labels = hub_labeling(g, n_hubs=4)
+    labels = hub_labeling(g, n_hubs=4, pruned=True)
     v = g.vertices
     pairs = (v.select(F.col("id").alias("u"))
              .join(v.select(F.col("id").alias("v")),

@@ -34,11 +34,28 @@ from pyspark.sql import DataFrame, functions as F
 from networkit_spark.graph import Graph
 
 
-def hub_labeling(g: Graph, n_hubs: int | None = None) -> DataFrame:
+def hub_labeling(g: Graph, n_hubs: int | None = None,
+                 pruned: bool = False) -> DataFrame:
     """(v, hub, d): distance labels from each hub (finite rows only;
     the d(h,h)=0 diagonal is included). Hubs = the ``n_hubs``
     highest-degree vertices (ties → smaller id), or ALL vertices when
-    None (exact oracle)."""
+    None (exact oracle).
+
+    ``pruned=True`` applies the batch analogue of the reference's
+    pruning (PrunedLabeling.h:286-307 — a visit (v, h_k, d) is pruned
+    when hubs of earlier rank already cover it): drop label (v, h, d)
+    whenever some hub h' with rank(h') < rank(h) satisfies
+    d(v,h') + d(h',h) <= d. One dominance join over the unpruned set
+    instead of the reference's sequential per-hub BFS consultations.
+
+    Exactness of the pruned index: for any pair (u, w), if the covering
+    pair through hub h is dropped, the dominating earlier-rank hub h'
+    also covers (u, w) at the same distance (triangle inequality keeps
+    d(u,h') + d(h',w) <= d(u,w), and >= always holds); each replacement
+    strictly decreases the hub rank, and rank-0 labels cannot be
+    dropped, so the chain terminates at a surviving exact cover —
+    ``query_distances`` stays exact, the index just shrinks (the whole
+    point of the reference's pruning)."""
     from networkit_spark.operators.closeness import _dist_rows
     from networkit_spark.operators.degrees import out_degrees
 
@@ -65,7 +82,53 @@ def hub_labeling(g: Graph, n_hubs: int | None = None) -> DataFrame:
         .union(diag).persist()
     out.count()
     sc.cleanup()
+    if pruned:
+        out = prune_labels(g, out)
     return out
+
+
+def prune_labels(g: Graph, labels: DataFrame) -> DataFrame:
+    """Batch dominance pruning of a (v, hub, d) label set (semantics of
+    PrunedLabeling.h:286-307; exactness argument in
+    :func:`hub_labeling`). Hub rank = degree descending, id ascending —
+    the reference's processing order.
+
+    Distributed shape: ranks come from the two-pass
+    ``ordered_dense_ids`` (no single-partition sort); the dominance test
+    is one join keyed on v (labels of v x labels of v) whose (hub, h')
+    leg joins the hub-to-hub labels keyed on (hub, h') — cost
+    Σ_v |labels(v)|², the index-size regime pruning is built for
+    (bounded hub sets; the all-hub exact oracle pays its own size)."""
+    from networkit_spark.operators.degrees import out_degrees
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
+
+    ranks = ordered_dense_ids(
+        out_degrees(g).join(
+            labels.select(F.col("hub").alias("id")).distinct(), "id")
+        .withColumn("_negdeg", -F.col("degree"))
+        .select("id", "_negdeg"),
+        ["_negdeg", "id"], out_col="rank"
+    ).select(F.col("id").alias("hub"), "rank")
+
+    lab = labels.join(ranks, "hub").select("v", "hub", "d", "rank")
+    # v's other labels: candidate dominating hubs h' (earlier rank)
+    a = lab.select("v", F.col("hub").alias("_hp"),
+                   F.col("d").alias("_dva"),
+                   F.col("rank").alias("_rankp"))
+    # hub-to-hub distances d(h', h): the label rows whose v is a hub
+    hh = (labels.join(ranks.select(F.col("hub").alias("v")), "v",
+                      "left_semi")
+          .select(F.col("v").alias("_hhh"), F.col("hub").alias("_hhp"),
+                  F.col("d").alias("_dhh")))
+    dominated = (
+        lab.join(a, "v")
+        .filter(F.col("_rankp") < F.col("rank"))
+        .join(hh, (F.col("_hhh") == F.col("hub"))
+              & (F.col("_hhp") == F.col("_hp")))
+        .filter(F.col("_dva") + F.col("_dhh") <= F.col("d"))
+        .select("v", "hub").distinct()
+    )
+    return labels.join(dominated, ["v", "hub"], "left_anti")
 
 
 def query_distances(labels: DataFrame, pairs: DataFrame) -> DataFrame:
