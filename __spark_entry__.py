@@ -866,6 +866,20 @@ def q_seir_pps1_p1(spark, sf_dir):
         seed=0).select("t", "state", F.col("count").alias("cnt"))
 
 
+def q_fr_layout_pps1(spark, sf_dir):
+    """Grid-bucketed FruchtermanReingold layout of pp(p_size=1)
+    (FruchtermanReingold.cpp:23-160; repulsion restricted to
+    grid-neighbor cells). Registered WITHOUT an oracle (rows-only
+    driver check): per-node force sums are partition-order float
+    reductions, so values are not bit-reproducible in SQL; frame
+    bounds, displacement cap, and clique-separation structure are
+    pytest-verified."""
+    from networkit_spark.operators.layout import fruchterman_reingold
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return fruchterman_reingold(g, max_iter=10, seed=3).select(
+        "id", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
+
+
 def q_pivot_mds_pps1(spark, sf_dir):
     """PivotMDS 2-D layout of pp(p_size=1) (PivotMDS.cpp:23-106).
     Registered WITHOUT an oracle (rows-only driver check): the k×k
@@ -990,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_pps1": q_prefix_jaccard_pps1,
         "seir_pps1_p1": q_seir_pps1_p1,
         "pivot_mds_pps1": q_pivot_mds_pps1,
+        "fr_layout_pps1": q_fr_layout_pps1,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,
         "corpus_scc": q_corpus_scc,

@@ -181,3 +181,149 @@ def pivot_mds(g: Graph, dim: int = 2, num_pivots: int = 30,
     res.count()
     vecs.unpersist()
     return res
+
+
+def fruchterman_reingold(g: Graph, max_iter: int = 30, prec: float = 1e-3,
+                         seed: int = 42,
+                         grid_cells: int | None = None) -> DataFrame:
+    """(id, x, y): force-directed layout on the unit square — the
+    grid-bucketed batch formulation of FruchtermanReingold
+    (/root/reference/networkit/cpp/viz/FruchtermanReingold.cpp:23-160).
+
+    Reference semantics mirrored exactly where batchable:
+      - optPairSqrDist = 0.3 · area / n (unit frame → 0.3/n);
+      - repulsion between a pair at squared distance s²:
+        (p1−p2) · optPairSqrDist/s² (zero when coincident, :51-58);
+      - attraction along each edge: (p1−p2) · dist/optPairDist (:39-47);
+      - move: every node steps EXACTLY ``step`` in its net-force
+        direction, then clamps to the frame (:65-77) — the per-round
+        displacement bound is structural;
+      - cooling: step_t = 1/(1 + 0.1·t) (:84-88), convergence when
+        Σ‖move‖ < prec or ``max_iter`` rounds (:92-101).
+
+    The ONE deviation (the reason the reference's n² loop doesn't
+    scale): repulsion is restricted to grid-neighbor cells — the unit
+    square is cut into m×m cells with 1/m ≥ 2·optPairDist, each node
+    joins the 9 cells around it (the pub_web_edges candidate-join
+    shape, no torus wrap), so every pair closer than 1/m ≥ 2·optPairDist
+    repels exactly and far-field terms (magnitude ≤ optPairSqrDist/
+    (1/m) ≈ optPairDist/2 per pair, decaying as 1/dist) are dropped.
+    This is the classic grid variant from Fruchterman & Reingold's own
+    paper (§4.1 "grid variant"). Candidate volume is Σ_cell 9·B² with
+    B ≈ n/m² = O(0.3·…) nodes per cell under the near-uniform layouts
+    the clamp+repulsion drive toward — linear in n, and the join keys
+    (cx, cy) shuffle-partition it.
+
+    Initial positions are hash-uniform in [0,1]² (reference
+    initialize() draws uniformly; a seeded hash IS that draw,
+    order-free). Deterministic up to float summation order (the
+    per-node force sum is a partition-order float reduction), hence
+    gated rows-only. Per-round lineage is cut through a Scratch with
+    the Σ‖move‖ metric observed on the write — one action per round."""
+    import math
+
+    from networkit_spark.plans.scratch import Scratch
+
+    n = g.num_vertices()
+    spark = g.edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, x double, y double")
+    opt2 = 0.3 / n
+    opt = math.sqrt(opt2)
+    if grid_cells is None:
+        grid_cells = max(1, min(int(1.0 / (2.0 * opt)), 256))
+    m = grid_cells
+
+    def _u01(col, salt):
+        return (F.pmod(F.xxhash64(col, F.lit(seed), F.lit(salt)),
+                       F.lit(1 << 30)).cast("double") / F.lit(float(1 << 30)))
+
+    pos = g.vertices.select(
+        "id", _u01(F.col("id"), 0).alias("x"), _u01(F.col("id"), 1).alias("y"))
+    # each edge pulls BOTH endpoints (reference :133-137 applies ±attr
+    # to u and v per edge) — one orientation-doubled table serves
+    # directed and undirected alike
+    sym = g.edges.select("src", "dst")
+    sym = sym.union(sym.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst"))).distinct()
+    sym = sym.persist()
+    sym.count()
+
+    sc = Scratch(spark, "frlayout")
+    try:
+        cur = sc.cut(pos, name="init")
+        step = 1.0
+        cool = 1.0
+        for it in range(max_iter):
+            cellx = F.floor(F.col("x") * m).cast("long")
+            celly = F.floor(F.col("y") * m).cast("long")
+            probe = (cur.select(
+                "id", "x", "y",
+                F.explode(F.array(*[
+                    F.struct((cellx + i).alias("cx"), (celly + j).alias("cy"))
+                    for i in (-1, 0, 1) for j in (-1, 0, 1)])).alias("c"))
+                .select("id", "x", "y", "c.cx", "c.cy")
+                .filter((F.col("cx") >= 0) & (F.col("cx") < m)
+                        & (F.col("cy") >= 0) & (F.col("cy") < m)))
+            home = cur.select(F.col("id").alias("id2"),
+                              F.col("x").alias("x2"), F.col("y").alias("y2"),
+                              F.least(F.floor(F.col("x") * m).cast("long"),
+                                      F.lit(m - 1)).alias("cx"),
+                              F.least(F.floor(F.col("y") * m).cast("long"),
+                                      F.lit(m - 1)).alias("cy"))
+            dx, dy = F.col("x") - F.col("x2"), F.col("y") - F.col("y2")
+            d2 = dx * dx + dy * dy
+            rep = (probe.join(home, ["cx", "cy"])
+                   .filter(F.col("id") != F.col("id2"))
+                   .select("id",
+                           F.when(d2 > 0, dx * F.lit(opt2) / d2)
+                           .otherwise(F.lit(0.0)).alias("fx"),
+                           F.when(d2 > 0, dy * F.lit(opt2) / d2)
+                           .otherwise(F.lit(0.0)).alias("fy")))
+            # attraction: forces[u] -= (pu−pv)·dist/opt  (both directions
+            # via the symmetrized edge table)
+            pu = cur.select(F.col("id").alias("src"),
+                            F.col("x").alias("ux"), F.col("y").alias("uy"))
+            pv = cur.select(F.col("id").alias("dst"),
+                            F.col("x").alias("vx"), F.col("y").alias("vy"))
+            adx, ady = F.col("ux") - F.col("vx"), F.col("uy") - F.col("vy")
+            adist = F.sqrt(adx * adx + ady * ady)
+            attr = (sym.join(pu, "src").join(pv, "dst")
+                    .select(F.col("src").alias("id"),
+                            (-adx * adist / F.lit(opt)).alias("fx"),
+                            (-ady * adist / F.lit(opt)).alias("fy")))
+            force = (rep.unionByName(attr).groupBy("id")
+                     .agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy")))
+            flen = F.sqrt(F.col("fx") * F.col("fx") + F.col("fy") * F.col("fy"))
+            moved = (cur.join(force, "id", "left")
+                     .select(
+                         "id", "x", "y",
+                         F.when(F.coalesce(flen, F.lit(0.0)) > 0,
+                                F.greatest(F.lit(0.0), F.least(
+                                    F.lit(1.0),
+                                    F.col("x") + F.lit(step) * F.col("fx")
+                                    / flen))).otherwise(F.col("x"))
+                         .alias("nx"),
+                         F.when(F.coalesce(flen, F.lit(0.0)) > 0,
+                                F.greatest(F.lit(0.0), F.least(
+                                    F.lit(1.0),
+                                    F.col("y") + F.lit(step) * F.col("fy")
+                                    / flen))).otherwise(F.col("y"))
+                         .alias("ny")))
+            ddx, ddy = F.col("nx") - F.col("x"), F.col("ny") - F.col("y")
+            nxt = moved.select(
+                "id", F.col("nx").alias("x"), F.col("ny").alias("y"),
+                F.sqrt(ddx * ddx + ddy * ddy).alias("_move"))
+            cur, met = sc.cut_observed(
+                nxt, [F.sum("_move").alias("change")],
+                keep=["id", "x", "y"], name=f"it{it}")
+            cool += 0.1
+            step = 1.0 / cool
+            if float(met["change"] or 0.0) < prec:
+                break
+        out = cur.persist()
+        out.count()
+    finally:
+        sym.unpersist()
+        sc.cleanup()
+    return out

@@ -82,3 +82,49 @@ def test_pivot_mds_disconnected_and_isolated(spark):
     got = pivot_mds(g, dim=2, num_pivots=3, seed=1)
     assert got.count() == 6
     assert set(got.columns) == {"id", "x0", "x1"}
+
+
+def test_fruchterman_reingold_structure_and_bounds(spark):
+    """Grid-bucketed FR: (a) positions stay in the unit frame, (b) the
+    layout pulls cliques together — mean intra-clique edge length ends
+    below the mean inter-clique distance, (c) deterministic for a
+    seed at fixed partitioning (rows-only gate rationale: float
+    force-sum order)."""
+    from networkit_spark.operators.layout import fruchterman_reingold
+
+    # two 4-cliques joined by one bridge
+    cl1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    cl2 = [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    g = Graph.from_rows(spark, cl1 + cl2 + [(3, 4)], directed=False)
+    out = fruchterman_reingold(g, max_iter=25, seed=7)
+    pos = {r["id"]: (r["x"], r["y"]) for r in out.collect()}
+    assert len(pos) == 8
+    for x, y in pos.values():
+        assert 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0
+
+    import itertools
+    import math
+
+    def d(u, v):
+        return math.dist(pos[u], pos[v])
+
+    intra = [d(u, v) for u, v in cl1 + cl2]
+    inter = [d(u, v) for u, v in itertools.product(range(4), range(4, 8))
+             if (u, v) != (3, 4)]
+    assert sum(intra) / len(intra) < sum(inter) / len(inter)
+
+
+def test_fruchterman_reingold_displacement_capped(spark):
+    """Every round moves a node at most the cooling step (reference
+    move(): exactly `step` along the net force, then clamp) — one
+    round from a fixed start can displace at most step=1.0."""
+    from networkit_spark.operators.layout import fruchterman_reingold
+
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (2, 0)], directed=False)
+    before = fruchterman_reingold(g, max_iter=0)
+    after1 = fruchterman_reingold(g, max_iter=1)
+    b = {r["id"]: (r["x"], r["y"]) for r in before.collect()}
+    a = {r["id"]: (r["x"], r["y"]) for r in after1.collect()}
+    import math
+    for i in b:
+        assert math.dist(b[i], a[i]) <= 1.0 + 1e-9
