@@ -307,14 +307,48 @@ def approx_betweenness(g: Graph, epsilon: float = 0.1, delta: float = 0.1,
     samples = sc.cut(samples, "samples")
 
     sources = samples.select("s").distinct()
+    sig, sym = _sigma_table(g, sources, sc)
+    contribs = _sample_path_contribs(sc, samples, sig, sym, seed)
+
+    if contribs is None:
+        out = zeros.persist()
+    else:
+        scores = contribs.groupBy("id").agg(
+            (F.count(F.lit(1)) / F.lit(float(r))).alias("score"))
+        out = g.vertices.join(scores, "id", "left").select(
+            "id", F.coalesce("score", F.lit(0.0)).alias("score")).persist()
+    out.count()
+    sym.unpersist()
+    sc.cleanup()
+    return out
+
+
+def _sigma_table(g: Graph, sources: DataFrame, sc):
+    """(sig, sym): sig = the (s, v, d, sigma) BFS-DAG strata table for
+    ``sources`` (parquet-cut), sym = the persisted symmetric edge
+    relation the strata were built over (caller unpersists)."""
     levels, sym = _brandes(g, sources, sc)
-    sig = None  # (s, v, d, sigma)
+    sig = None
     for l, lv in enumerate(levels):
         rr = lv.select("s", "v", F.lit(l).cast("long").alias("d"), "sigma")
         sig = rr if sig is None else sig.union(rr)
-    sig = sc.cut(sig, "sigma")
+    if sig is None:
+        spark = g.edges.sparkSession
+        sig = spark.createDataFrame(
+            [], "s long, v long, d long, sigma double")
+    return sc.cut(sig, "sigma"), sym
 
-    # walks start at the target (if reachable) at its BFS depth
+
+def _sample_path_contribs(sc, samples: DataFrame, sig: DataFrame,
+                          sym: DataFrame, seed: int) -> DataFrame | None:
+    """(i, id): interior vertices of ONE σ-weighted uniformly sampled
+    shortest path per reachable (i, s, t) sample row — the RK backward
+    walk (ApproxBetweenness.cpp:77-104), all samples simultaneously,
+    one join per level; the σ-weighted predecessor choice is a
+    deterministic-hash exponential race (min of −ln(U_z)/σ_z picks z
+    w.p. σ_z/σ_t). Deterministic in (i, depth, z, seed) — re-walking an
+    unchanged DAG reproduces the same path."""
+    big = float(1 << 40)
     state, m = sc.cut_observed(
         samples.join(sig.select("s", F.col("v").alias("t"), "d"),
                      ["s", "t"])
@@ -349,15 +383,83 @@ def approx_betweenness(g: Graph, epsilon: float = 0.1, delta: float = 0.1,
             is None else contribs.union(state.select("i", F.col("t").alias("id")))
         if rnd % 8 == 0 and contribs is not None:
             contribs = sc.cut(contribs, f"contrib{rnd}")
+    return contribs
 
+
+def approx_betweenness_state(g: Graph, epsilon: float = 0.1,
+                             delta: float = 0.1,
+                             universal_constant: float = 1.0,
+                             seed: int = 42) -> dict:
+    """Run the RK estimator AND return the maintainable state
+    DynApproxBetweenness keeps between updates
+    (DynApproxBetweenness.cpp:30-117: the r sampled pairs, the per-pair
+    SSSP trees, the per-pair sampled paths). Batch shape of the state:
+
+      - ``samples``: (i, s, t) — the fixed sample pairs;
+      - ``dist``: (s, v, d) — BFS distances from every sampled source
+        (the analogue of the r DynBFS trees, O(r·n) rows like the
+        reference's memory);
+      - ``contribs``: (i, id) — interior vertices of sample i's path;
+      - ``r``, ``seed``, ``scores`` (id, score).
+
+    ``streaming.dyn.update_approx_betweenness`` repairs this state at
+    SAMPLE granularity."""
+    import math
+
+    from networkit_spark.operators.graph_tools import ordered_dense_ids
+    from networkit_spark.plans.scratch import Scratch
+
+    if g.directed:
+        raise ValueError("approx_betweenness_state: undirected only "
+                         "(DynApproxBetweenness.cpp:31 throws)")
+    spark = g.edges.sparkSession
+    n = g.num_vertices()
+    from networkit_spark.operators.closeness import (
+        estimated_vertex_diameter_pedantic)
+    vd = estimated_vertex_diameter_pedantic(g) if n >= 3 else 0
+    if n < 3 or vd <= 2:
+        empty = spark.createDataFrame([], "i long, s long, t long")
+        return {"samples": empty,
+                "dist": spark.createDataFrame([], "s long, v long, d long"),
+                "contribs": spark.createDataFrame([], "i long, id long"),
+                "r": 0, "seed": seed,
+                "scores": g.vertices.select(
+                    "id", F.lit(0.0).alias("score"))}
+    r = int(math.ceil((universal_constant / (epsilon * epsilon))
+                      * (math.floor(math.log2(vd - 2)) + 1
+                         - math.log(delta))))
+    sc = Scratch(spark, "abwst")
+    dense = sc.cut(ordered_dense_ids(g.vertices.select("id"), ["id"],
+                                     "idx"), "dense")
+    samples = (
+        spark.range(r).select(F.col("id").alias("i"))
+        .withColumn("uidx", F.pmod(F.xxhash64("i", F.lit(seed)), F.lit(n)))
+        .withColumn("shift", 1 + F.pmod(F.xxhash64("i", F.lit(seed + 1)),
+                                        F.lit(n - 1)))
+        .withColumn("vidx", F.pmod(F.col("uidx") + F.col("shift"), F.lit(n)))
+        .join(dense.select(F.col("idx").alias("uidx"),
+                           F.col("id").alias("s")), "uidx")
+        .join(dense.select(F.col("idx").alias("vidx"),
+                           F.col("id").alias("t")), "vidx")
+        .select("i", "s", "t")
+    )
+    samples = sc.cut(samples, "samples")
+    sig, sym = _sigma_table(g, samples.select("s").distinct(), sc)
+    contribs = _sample_path_contribs(sc, samples, sig, sym, seed)
     if contribs is None:
-        out = zeros.persist()
-    else:
-        scores = contribs.groupBy("id").agg(
-            (F.count(F.lit(1)) / F.lit(float(r))).alias("score"))
-        out = g.vertices.join(scores, "id", "left").select(
-            "id", F.coalesce("score", F.lit(0.0)).alias("score")).persist()
-    out.count()
+        contribs = spark.createDataFrame([], "i long, id long")
+    scores = g.vertices.join(
+        contribs.groupBy("id").agg(
+            (F.count(F.lit(1)) / F.lit(float(r))).alias("score")),
+        "id", "left").select(
+        "id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    out = {"samples": samples.persist(),
+           "dist": sig.select("s", "v", "d")
+           .filter(F.col("d") >= 1).persist(),
+           "contribs": contribs.persist(),
+           "r": r, "seed": seed, "scores": scores.persist()}
+    for k in ("samples", "dist", "contribs", "scores"):
+        out[k].count()
     sym.unpersist()
     sc.cleanup()
     return out

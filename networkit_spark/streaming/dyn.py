@@ -381,3 +381,116 @@ def update_betweenness(g: Graph, bc: DataFrame, dist: DataFrame,
     new_bc.count()
     affected.unpersist()
     return new_g, new_bc, new_dist
+
+
+def update_approx_betweenness(g: Graph, state: dict,
+                              events: DataFrame) -> tuple[Graph, dict]:
+    """DynApproxBetweenness batch update
+    (/root/reference/networkit/cpp/centrality/DynApproxBetweenness.cpp:
+    126-176: per sample, update its SSSP; if modified, subtract the old
+    sampled path's contributions and draw a new path). The batch-native
+    granularity is the affected SAMPLE — the analogue of
+    update_betweenness's affected-source repair, at the state the RK
+    estimator actually keeps:
+
+      1. affected sources A = {s sampled : some inserted edge (u,v,w)
+         gives d(s,u)+w <= d(s,v)} over the maintained per-source
+         distance table (diagonal normalized in, both orientations —
+         exactly the condition under which DynBFS flags modified());
+      2. the sigma strata are recomputed ONLY for A on the new graph
+         (one batched multi-source BFS over |A| sources);
+      3. ONLY the samples whose source is in A re-walk their path (the
+         deterministic sigma-weighted hash race — an unchanged DAG
+         reproduces the identical path, a changed one yields a valid
+         sigma-weighted draw, the reference's re-sample);
+      4. contribs = (old minus affected-sample rows) union new walks;
+         scores = counts / r (r and the sample pairs stay fixed, like
+         the reference).
+
+    Work is |A|·(BFS over reachable) + the affected walks — untouched
+    samples never enter a frontier. Edge insertions / weight decreases
+    only (the reference's DynBFS/DynDijkstra restriction). Returns
+    (new_g, new_state).
+
+    Recompute-vs-repair break-even: a full rerun costs r-source strata
+    + r walks; the repair costs |A|-source strata + |A| walks + two
+    broadcast joins for detection, so it wins whenever |A| < r — for a
+    single inserted edge on a diameter-D graph, A is the set of sampled
+    sources whose BFS cone reaches the edge with slack <= 0, typically
+    a small fraction unless the insert is central."""
+    from networkit_spark.operators.betweenness import (
+        _sample_path_contribs, _sigma_table)
+    from networkit_spark.plans.scratch import Scratch
+
+    if g.directed:
+        raise ValueError("update_approx_betweenness: undirected only "
+                         "(DynApproxBetweenness.cpp:31)")
+    bad = events.filter(
+        ~F.col("type").isin("EDGE_ADDITION", "EDGE_WEIGHT_UPDATE")).count()
+    if bad:
+        raise ValueError(
+            "update_approx_betweenness: edge insertions / weight "
+            "decreases only (DynBFS rejects removals); recompute with "
+            "approx_betweenness_state after removals")
+
+    spark = g.edges.sparkSession
+    new_edges = apply_events(g.edges, events)
+    endpoints = (events.select(F.explode(F.array("u", "v")).alias("id"))
+                 .filter(F.col("id").isNotNull()).distinct())
+    new_g = Graph(new_edges, directed=False, weighted=g.weighted,
+                  vertices=g.vertices.union(endpoints).distinct())
+
+    samples, dist, contribs = (state["samples"], state["dist"],
+                               state["contribs"])
+    r, seed = state["r"], state["seed"]
+    if r == 0:
+        return new_g, state
+
+    ins = events.select(
+        F.col("u").cast("long"), F.col("v").cast("long"),
+        (F.coalesce("w", F.lit(1.0)) if g.weighted else F.lit(1.0))
+        .cast("double").alias("w"))
+    ins_dir = ins.union(ins.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v"), "w"))
+    # diagonal-normalized affected-source rule (see update_betweenness)
+    srcs = dist.select("s").distinct()
+    diag = srcs.select("s", F.col("s").alias("v"), F.lit(0.0).alias("d"))
+    dist_n = (dist.select("s", "v", F.col("d").cast("double").alias("d"))
+              .union(diag).groupBy("s", "v").agg(F.min("d").alias("d")))
+    du = dist_n.select("s", F.col("v").alias("u"), F.col("d").alias("du"))
+    dv = dist_n.select("s", F.col("v").alias("v"), F.col("d").alias("dv"))
+    aff = (du.join(F.broadcast(ins_dir), "u")
+           .join(dv, ["s", "v"], "left")
+           .filter(F.col("du") + F.col("w")
+                   <= F.coalesce("dv", F.lit(float("inf"))))
+           .select("s").distinct().persist())
+    if aff.count() == 0:
+        return new_g, state
+
+    aff_samples = samples.join(aff, "s", "left_semi")
+    sc = Scratch(spark, "dynabw")
+    try:
+        sig, sym = _sigma_table(new_g, aff.select("s"), sc)
+        new_walks = _sample_path_contribs(sc, aff_samples, sig, sym, seed)
+        if new_walks is None:
+            new_walks = spark.createDataFrame([], "i long, id long")
+        kept = contribs.join(aff_samples.select("i"), "i", "left_anti")
+        new_contribs = kept.unionByName(new_walks)
+        kept_dist = dist.join(aff, "s", "left_anti")
+        new_dist = kept_dist.unionByName(
+            sig.select("s", "v", "d").filter(F.col("d") >= 1))
+        scores = new_g.vertices.join(
+            new_contribs.groupBy("id").agg(
+                (F.count(F.lit(1)) / F.lit(float(r))).alias("score")),
+            "id", "left").select(
+            "id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        out = {"samples": samples, "dist": new_dist.persist(),
+               "contribs": new_contribs.persist(), "r": r, "seed": seed,
+               "scores": scores.persist()}
+        for k in ("dist", "contribs", "scores"):
+            out[k].count()
+        sym.unpersist()
+    finally:
+        sc.cleanup()
+    aff.unpersist()
+    return new_g, out

@@ -326,3 +326,65 @@ def test_dyn_betweenness_weighted(spark):
     want = {r["id"]: r["score"] for r in weighted_betweenness(g2).collect()}
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_dyn_approx_betweenness_matches_fresh_rerun(spark):
+    """Sample-granular DynApproxBetweenness repair: because the path
+    walk is a deterministic hash race over the BFS DAG, repairing only
+    the affected samples must reproduce EXACTLY the state a fresh
+    same-seed run on the new graph builds (unaffected samples keep
+    their identical paths; affected ones re-walk the new DAG)."""
+    from networkit_spark.operators.betweenness import (
+        approx_betweenness_state)
+    from networkit_spark.streaming.dyn import update_approx_betweenness
+
+    # 12-cycle: every insert shortens some pairs but the pedantic
+    # vertex-diameter bucket stays put for r stability
+    edges = [(i, (i + 1) % 12) for i in range(12)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    st = approx_betweenness_state(g, epsilon=0.35, delta=0.2, seed=11)
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 0, 3, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, st2 = update_approx_betweenness(g, st, ev)
+
+    fresh = approx_betweenness_state(g2, epsilon=0.35, delta=0.2, seed=11)
+    assert st2["r"] == fresh["r"], "vd bucket moved; fixture invalid"
+    got = sorted((r["i"], r["id"]) for r in st2["contribs"].collect())
+    want = sorted((r["i"], r["id"]) for r in fresh["contribs"].collect())
+    assert got == want
+    gs = {r["id"]: r["score"] for r in st2["scores"].collect()}
+    ws = {r["id"]: r["score"] for r in fresh["scores"].collect()}
+    assert gs == ws
+    # repaired dist table == fresh dist table
+    gd = sorted((r["s"], r["v"], r["d"])
+                for r in st2["dist"].collect())
+    wd = sorted((r["s"], r["v"], r["d"])
+                for r in fresh["dist"].collect())
+    assert gd == wd
+
+
+def test_dyn_approx_betweenness_noop_and_rejects_removal(spark):
+    from networkit_spark.operators.betweenness import (
+        approx_betweenness_state)
+    from networkit_spark.streaming.dyn import update_approx_betweenness
+
+    edges = [(i, i + 1) for i in range(8)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    st = approx_betweenness_state(g, epsilon=0.4, delta=0.2, seed=5)
+    # re-adding an existing edge changes no DAG: the conservative <=
+    # rule still flags equal-length candidates, but re-walking the
+    # unchanged DAGs must reproduce the identical state
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 2, 3, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, st2 = update_approx_betweenness(g, st, ev)
+    assert (sorted((r["i"], r["id"]) for r in st2["contribs"].collect())
+            == sorted((r["i"], r["id"]) for r in st["contribs"].collect()))
+    assert ({r["id"]: r["score"] for r in st2["scores"].collect()}
+            == {r["id"]: r["score"] for r in st["scores"].collect()})
+    bad = spark.createDataFrame(
+        [("EDGE_REMOVAL", 2, 3, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    with pytest.raises(ValueError, match="insertions"):
+        update_approx_betweenness(g, st, bad)
