@@ -880,6 +880,16 @@ def q_fr_layout_pps1(spark, sf_dir):
         "id", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
 
 
+def q_multilevel_fr_pps1(spark, sf_dir):
+    """MultilevelLayouter (MultilevelLayouter.cpp:33-80): PLP-cluster →
+    contract → recursive layout → prolong → FR refine. Rows-only for
+    the same float-reduction reason as fr_layout_pps1."""
+    from networkit_spark.operators.layout import multilevel_layout
+    g = TG.graph_pp_size1(spark, sf_dir)
+    return multilevel_layout(g, n_thresh=15, fr_iter=4, seed=3).select(
+        "id", _r6(F.col("x")).alias("x"), _r6(F.col("y")).alias("y"))
+
+
 def q_pivot_mds_pps1(spark, sf_dir):
     """PivotMDS 2-D layout of pp(p_size=1) (PivotMDS.cpp:23-106).
     Registered WITHOUT an oracle (rows-only driver check): the k×k
@@ -1005,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seir_pps1_p1": q_seir_pps1_p1,
         "pivot_mds_pps1": q_pivot_mds_pps1,
         "fr_layout_pps1": q_fr_layout_pps1,
+        "multilevel_fr_pps1": q_multilevel_fr_pps1,
         "corpus_pagerank_top20": q_corpus_pagerank_top20,
         "corpus_components": q_corpus_components,
         "corpus_scc": q_corpus_scc,

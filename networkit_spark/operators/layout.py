@@ -24,10 +24,13 @@ Spark formulation:
   - coordinates: C·v as a zip_with/aggregate over the per-node dense
     pivot vector — one narrow projection, no shuffle.
 
-The viz/ rest (FruchtermanReingold's all-pairs repulsion sweeps,
-MaxentStress, MultilevelLayouter) is declared out of scope: their
-inner loops are n² force models with no aggregation structure that
-survives 100×; PivotMDS is the member built FOR large graphs.
+Also here (round 5): ``fruchterman_reingold`` — the reference's force
+model with repulsion grid-bucketed to neighbor cells (the FR paper's
+own grid variant, linear candidate volume instead of the n² sweep) —
+``multilevel_layout`` (MultilevelLayouter.cpp: PLP-cluster →
+contract → recurse → prolong → FR refine), and ``maxent_stress``
+(MaxentStress.cpp: k-hop stress + entropy anneal, CG Laplacian solves,
+grid Barnes–Hut repulsion). The full viz/ surface is covered.
 """
 
 from __future__ import annotations
@@ -185,7 +188,8 @@ def pivot_mds(g: Graph, dim: int = 2, num_pivots: int = 30,
 
 def fruchterman_reingold(g: Graph, max_iter: int = 30, prec: float = 1e-3,
                          seed: int = 42,
-                         grid_cells: int | None = None) -> DataFrame:
+                         grid_cells: int | None = None,
+                         init_pos: DataFrame | None = None) -> DataFrame:
     """(id, x, y): force-directed layout on the unit square — the
     grid-bucketed batch formulation of FruchtermanReingold
     (/root/reference/networkit/cpp/viz/FruchtermanReingold.cpp:23-160).
@@ -238,8 +242,22 @@ def fruchterman_reingold(g: Graph, max_iter: int = 30, prec: float = 1e-3,
         return (F.pmod(F.xxhash64(col, F.lit(seed), F.lit(salt)),
                        F.lit(1 << 30)).cast("double") / F.lit(float(1 << 30)))
 
-    pos = g.vertices.select(
-        "id", _u01(F.col("id"), 0).alias("x"), _u01(F.col("id"), 1).alias("y"))
+    if init_pos is not None:
+        # useGivenCoordinates mode (reference Layouter ctor flag):
+        # refine a supplied layout; missing ids fall back to hash init
+        pos = (g.vertices.join(
+            init_pos.select("id", F.col("x").alias("_ix"),
+                            F.col("y").alias("_iy")), "id", "left")
+            .select(
+                "id",
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.coalesce(
+                    "_ix", _u01(F.col("id"), 0)))).alias("x"),
+                F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.coalesce(
+                    "_iy", _u01(F.col("id"), 1)))).alias("y")))
+    else:
+        pos = g.vertices.select(
+            "id", _u01(F.col("id"), 0).alias("x"),
+            _u01(F.col("id"), 1).alias("y"))
     # each edge pulls BOTH endpoints (reference :133-137 applies ±attr
     # to u and v per edge) — one orientation-doubled table serves
     # directed and undirected alike
@@ -325,5 +343,297 @@ def fruchterman_reingold(g: Graph, max_iter: int = 30, prec: float = 1e-3,
         out.count()
     finally:
         sym.unpersist()
+        sc.cleanup()
+    return out
+
+
+def multilevel_layout(g: Graph, n_thresh: int = 15, seed: int = 42,
+                      fr_iter: int = 30, max_levels: int = 12) -> DataFrame:
+    """(id, x, y): MultilevelLayouter
+    (/root/reference/networkit/cpp/viz/MultilevelLayouter.cpp:33-80):
+    cluster with PLP, contract by the clustering
+    (ParallelPartitionCoarsening), lay out the coarse graph recursively,
+    prolong each fine node to its coarse cluster's coordinate, refine
+    with FruchtermanReingold in useGivenCoordinates mode. The coarsest
+    graph (n <= ``n_thresh``, the reference's N_THRSH = 15) gets a cold
+    FR layout.
+
+    Every level's pieces are the repo's distributed operators
+    (label_propagation / coarsen / fruchterman_reingold); the recursion
+    depth is O(log n) when PLP contracts geometrically, bounded by
+    ``max_levels`` (PLP can stall on cluster-free graphs — a level that
+    fails to shrink the graph stops the recursion, the reference would
+    recurse forever there)."""
+    from networkit_spark.operators.coarsening import coarsen
+    from networkit_spark.operators.lpa import label_propagation
+
+    n = g.num_vertices()
+    if n <= n_thresh or max_levels == 0:
+        return fruchterman_reingold(g, max_iter=fr_iter, seed=seed)
+    labels = label_propagation(g)
+    labels = labels.persist()
+    n_coarse = labels.select("label").distinct().count()
+    if n_coarse >= n:  # no contraction — recursion would not terminate
+        labels.unpersist()
+        return fruchterman_reingold(g, max_iter=fr_iter, seed=seed)
+    gc = coarsen(g, labels)
+    coarse_pos = multilevel_layout(gc, n_thresh=n_thresh, seed=seed,
+                                   fr_iter=fr_iter,
+                                   max_levels=max_levels - 1)
+    # prolong: each fine node starts at its cluster's coarse coordinate
+    init = (labels.join(coarse_pos.withColumnRenamed("id", "label"),
+                        "label")
+            .select("id", "x", "y"))
+    out = fruchterman_reingold(g, max_iter=fr_iter, seed=seed,
+                               init_pos=init)
+    labels.unpersist()
+    return out
+
+
+def maxent_stress(g: Graph, k: int = 2, q: float | None = None,
+                  dim: int = 2, alpha: float = 1.0,
+                  alpha_reduction: float = 0.3, final_alpha: float = 0.008,
+                  max_solves_per_alpha: int = 5,
+                  conv_threshold: float = 1e-6, cg_tol: float = 1e-6,
+                  cg_iter: int = 60, grid_cells: int = 16,
+                  seed: int = 42) -> DataFrame:
+    """(id, x, y): MaxentStress layout
+    (/root/reference/networkit/cpp/viz/MaxentStress.cpp:56-183, Gansner
+    et al. maxent-stress model): minimize stress over the KNOWN distance
+    set S (k-hop neighborhoods, w_uv = 1/d_uv², MaxentStress.h:308) plus
+    an entropy term over unknown pairs, by repeatedly solving the
+    weighted-Laplacian system  L x_d = rhs_d  per dimension and
+    annealing the entropy weight α (×0.3 per round until < 0.008).
+
+    Faithful pieces (same formulas, file:line):
+      - rhs = Σ_{(u,v)∈S} w·d/max(‖x_u−x_v‖,1e-5)·(x_u−x_v)  (:377-392,
+        including the reference's /dist correction to the paper);
+      - first ⌈solves/5⌉ solves normalize the stress rhs per-dim before
+        adding α·repulsion (:119-124); rhs made zero-sum (:129-142);
+      - repulsion magnitude sign(q)/max(‖Δ‖²,ε)^((q+2)/2), per-dim
+        2-norm normalized (:404-447); q defaults to 0, or 0.8 when >30%
+        of vertices have degree 1 (:480-489);
+      - convergence: Σ‖x_new−x_old‖²/Σ‖x_old‖² < threshold (:322-335);
+      - connected graphs only (:58-62 throws).
+
+    Batch deviations (documented): the octree far-field approximation
+    becomes a ONE-LEVEL grid Barnes–Hut — exact pairwise repulsion
+    inside the 3×3 neighbor-cell ring, per-cell center-of-mass beyond
+    it (n·m² candidate rows, m = ``grid_cells``); repulsive forces are
+    recomputed every solve (the reference's floor(5·ln s) staleness
+    schedule is a CPU-cache trick, recomputing is strictly more
+    accurate); Gauss–Seidel-free: the solver is the repo's distributed
+    CG with Jacobi preconditioning (the reference offers the same CG
+    option, :30-46); unweighted graphs only (hop distances; the
+    reference's Dijkstra k-neighborhood needs per-node heaps).
+    maxSolvesPerAlpha defaults to 5 instead of 50 — each solve is a CG
+    job chain, and the anneal converges in far fewer on the sizes the
+    fixtures cover; raise it for print-quality layouts."""
+    import math
+
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.degrees import out_degrees
+    from networkit_spark.operators.distances import k_hop_pairs
+    from networkit_spark.operators.numerics import conjugate_gradient
+    from networkit_spark.plans.scratch import Scratch
+
+    if dim != 2:
+        raise ValueError("maxent_stress: dim=2 only in this build")
+    if g.weighted:
+        raise ValueError("maxent_stress: unweighted graphs only "
+                         "(k-hop distances are hop counts)")
+    n = g.num_vertices()
+    spark = g.edges.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, x double, y double")
+    ncomp = connected_components(g).select("component").distinct().count()
+    if ncomp != 1:
+        raise ValueError("maxent_stress: graph must be connected "
+                         "(MaxentStress.cpp:58-62)")
+    if q is None:
+        deg1 = out_degrees(g).filter(F.col("degree") == 1).count()
+        q = 0.8 if deg1 / n > 0.3 else 0.0
+    qsign = 1.0 if q >= 0 else -1.0
+    q2 = (q + 2.0) / 2.0
+    m = grid_cells
+
+    sc = Scratch(spark, "maxent")
+    try:
+        S = sc.cut(
+            k_hop_pairs(g, k, scratch=sc).filter(F.col("dist") >= 1)
+            .select(F.col("id").alias("u"), F.col("other").alias("v"),
+                    F.col("dist").cast("double").alias("d"))
+            # try_divide: the d=0 self-pair union branch is filtered
+            # out, but ANSI constant folding would still evaluate the
+            # literal division at plan time and throw
+            .withColumn("w", F.try_divide(F.lit(1.0),
+                                          F.col("d") * F.col("d"))), "S")
+        # weighted Laplacian triplets (MaxentStress.cpp:338-373)
+        lap = S.select(F.col("u").alias("row"), F.col("v").alias("col"),
+                       (-F.col("w")).alias("val")).union(
+            S.groupBy(F.col("u").alias("row"))
+            .agg(F.sum("w").alias("val"))
+            .select("row", F.col("row").alias("col"), "val"))
+        lap = sc.cut(lap, "lap")
+
+        def _u01(col, salt):
+            return (F.pmod(F.xxhash64(col, F.lit(seed), F.lit(salt)),
+                           F.lit(1 << 30)).cast("double")
+                    / F.lit(float(1 << 30)))
+
+        # randomSphereCoordinates: points on the unit circle
+        theta = _u01(F.col("id"), 0) * (2.0 * math.pi)
+        cur = sc.cut(g.vertices.select(
+            "id", F.cos(theta).alias("x"), F.sin(theta).alias("y")), "x0")
+
+        def repulsion(coords):
+            bb = coords.agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                            F.min("y").alias("y0"), F.max("y").alias("y1")
+                            ).collect()[0]
+            span = max(bb["x1"] - bb["x0"], bb["y1"] - bb["y0"], 1e-9)
+            cellx = F.least(F.floor((F.col("x") - bb["x0"]) / span * m),
+                            F.lit(m - 1)).cast("long")
+            celly = F.least(F.floor((F.col("y") - bb["y0"]) / span * m),
+                            F.lit(m - 1)).cast("long")
+            pts = coords.select("id", "x", "y", cellx.alias("cx"),
+                                celly.alias("cy"))
+            cells = (pts.groupBy("cx", "cy")
+                     .agg(F.count(F.lit(1)).alias("cnt"),
+                          F.avg("x").alias("comx"),
+                          F.avg("y").alias("comy")))
+            # near field: exact pairs within the 3x3 neighbor ring
+            probe = pts.select(
+                "id", "x", "y",
+                F.explode(F.array(*[
+                    F.struct((F.col("cx") + i).alias("ncx"),
+                             (F.col("cy") + j).alias("ncy"))
+                    for i in (-1, 0, 1) for j in (-1, 0, 1)])).alias("c")
+            ).select("id", "x", "y", "c.ncx", "c.ncy")
+            other = pts.select(F.col("id").alias("id2"),
+                               F.col("x").alias("x2"),
+                               F.col("y").alias("y2"),
+                               F.col("cx").alias("ncx"),
+                               F.col("cy").alias("ncy"))
+            ndx, ndy = F.col("x") - F.col("x2"), F.col("y") - F.col("y2")
+            nsq = ndx * ndx + ndy * ndy
+            near = (probe.join(other, ["ncx", "ncy"])
+                    .filter((F.col("id") != F.col("id2")) & (nsq >= 1e-5))
+                    .select("id",
+                            (F.lit(qsign) * ndx
+                             / F.pow(F.greatest(nsq, F.lit(1e-3)),
+                                     F.lit(q2))).alias("fx"),
+                            (F.lit(qsign) * ndy
+                             / F.pow(F.greatest(nsq, F.lit(1e-3)),
+                                     F.lit(q2))).alias("fy")))
+            # far field: per-cell center of mass beyond the ring
+            fdx = F.col("x") - F.col("comx")
+            fdy = F.col("y") - F.col("comy")
+            fsq = fdx * fdx + fdy * fdy
+            far = (pts.join(
+                F.broadcast(cells.select(F.col("cx").alias("fcx"),
+                                         F.col("cy").alias("fcy"),
+                                         "cnt", "comx", "comy")),
+                (F.abs(F.col("cx") - F.col("fcx")) > 1)
+                | (F.abs(F.col("cy") - F.col("fcy")) > 1))
+                .filter(fsq >= 1e-5)
+                .select("id",
+                        (F.lit(qsign) * F.col("cnt") * fdx
+                         / F.pow(F.greatest(fsq, F.lit(1e-3)),
+                                 F.lit(q2))).alias("fx"),
+                        (F.lit(qsign) * F.col("cnt") * fdy
+                         / F.pow(F.greatest(fsq, F.lit(1e-3)),
+                                 F.lit(q2))).alias("fy")))
+            b = (near.unionByName(far).groupBy("id")
+                 .agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy")))
+            b = coords.select("id").join(b, "id", "left").select(
+                "id", F.coalesce("fx", F.lit(0.0)).alias("fx"),
+                F.coalesce("fy", F.lit(0.0)).alias("fy"))
+            b = sc.cut(b)
+            norms = b.agg(
+                F.sqrt(F.sum(F.col("fx") * F.col("fx"))).alias("nx"),
+                F.sqrt(F.sum(F.col("fy") * F.col("fy"))).alias("ny")
+            ).collect()[0]
+            return b.select(
+                "id",
+                (F.col("fx") / F.lit(max(norms["nx"] or 0.0, 1e-12)))
+                .alias("fx"),
+                (F.col("fy") / F.lit(max(norms["ny"] or 0.0, 1e-12)))
+                .alias("fy"))
+
+        cur_alpha = alpha
+        converged = False
+        norm_solves = max(1, max_solves_per_alpha // 5)
+        while not converged:
+            for s_i in range(max_solves_per_alpha):
+                rep = repulsion(cur)
+                xu = cur.select(F.col("id").alias("u"),
+                                F.col("x").alias("xu"),
+                                F.col("y").alias("yu"))
+                xv = cur.select(F.col("id").alias("v"),
+                                F.col("x").alias("xv"),
+                                F.col("y").alias("yv"))
+                sdx, sdy = F.col("xu") - F.col("xv"), F.col("yu") - F.col("yv")
+                sdist = F.greatest(F.sqrt(sdx * sdx + sdy * sdy),
+                                   F.lit(1e-5))
+                w2 = F.col("w") * F.col("d") / sdist
+                rhs = (S.join(xu, "u").join(xv, "v")
+                       .groupBy(F.col("u").alias("id"))
+                       .agg(F.sum(w2 * sdx).alias("rx"),
+                            F.sum(w2 * sdy).alias("ry")))
+                rhs = cur.select("id").join(rhs, "id", "left").select(
+                    "id", F.coalesce("rx", F.lit(0.0)).alias("rx"),
+                    F.coalesce("ry", F.lit(0.0)).alias("ry"))
+                rhs = sc.cut(rhs)
+                if s_i < norm_solves:
+                    nn = rhs.agg(
+                        F.sqrt(F.sum(F.col("rx") * F.col("rx"))).alias("nx"),
+                        F.sqrt(F.sum(F.col("ry") * F.col("ry"))).alias("ny")
+                    ).collect()[0]
+                    rhs = rhs.select(
+                        "id",
+                        (F.col("rx") / F.lit(max(nn["nx"] or 0.0, 1e-12)))
+                        .alias("rx"),
+                        (F.col("ry") / F.lit(max(nn["ny"] or 0.0, 1e-12)))
+                        .alias("ry"))
+                full = (rhs.join(rep, "id")
+                        .select("id",
+                                (F.col("rx") + F.lit(cur_alpha)
+                                 * F.col("fx")).alias("rx"),
+                                (F.col("ry") + F.lit(cur_alpha)
+                                 * F.col("fy")).alias("ry")))
+                means = full.agg(F.avg("rx").alias("mx"),
+                                 F.avg("ry").alias("my")).collect()[0]
+                full = sc.cut(full.select(
+                    "id", (F.col("rx") - F.lit(means["mx"])).alias("rx"),
+                    (F.col("ry") - F.lit(means["my"])).alias("ry")))
+                nx = conjugate_gradient(
+                    lap, full.select("id", F.col("rx").alias("val")),
+                    tol=cg_tol, max_iter=cg_iter)
+                ny = conjugate_gradient(
+                    lap, full.select("id", F.col("ry").alias("val")),
+                    tol=cg_tol, max_iter=cg_iter)
+                new = (nx.select("id", F.col("val").alias("x"))
+                       .join(ny.select("id", F.col("val").alias("y")), "id"))
+                chg = (cur.select("id", F.col("x").alias("ox"),
+                                  F.col("y").alias("oy"))
+                       .join(new, "id")
+                       .agg(F.sum((F.col("x") - F.col("ox"))
+                                  * (F.col("x") - F.col("ox"))
+                                  + (F.col("y") - F.col("oy"))
+                                  * (F.col("y") - F.col("oy"))).alias("rc"),
+                            F.sum(F.col("ox") * F.col("ox")
+                                  + F.col("oy") * F.col("oy")).alias("sq"))
+                       .collect()[0])
+                cur = sc.cut(new.select("id", "x", "y"))
+                if (float(chg["rc"] or 0.0)
+                        / max(float(chg["sq"] or 0.0), 1e-12)
+                        < conv_threshold):
+                    converged = True
+                    break
+            cur_alpha *= alpha_reduction
+            converged = converged or cur_alpha < final_alpha
+        out = cur.persist()
+        out.count()
+    finally:
         sc.cleanup()
     return out

@@ -49,6 +49,8 @@ ORACLE_LESS: set[str] = {
     # bit-reproducible in SQL); frame bounds / displacement cap /
     # clique-separation structure are verified in tests/test_layout.py
     "fr_layout_pps1",
+    # same float-reduction rationale, composed with PLP label races
+    "multilevel_fr_pps1",
 }
 
 

@@ -128,3 +128,86 @@ def test_fruchterman_reingold_displacement_capped(spark):
     import math
     for i in b:
         assert math.dist(b[i], a[i]) <= 1.0 + 1e-9
+
+
+def test_multilevel_layout_prolong_and_refine(spark):
+    """MultilevelLayouter: coarse FR at the base, prolong + refine up —
+    result stays in frame, keeps all nodes, and separates the two
+    planted clusters at least as well as random placement."""
+    from networkit_spark.operators.layout import multilevel_layout
+
+    # two 10-cliques + one bridge -> PLP contracts, recursion kicks in
+    cl1 = [(a, b) for a in range(10) for b in range(a + 1, 10)]
+    cl2 = [(a, b) for a in range(10, 20) for b in range(a + 1, 20)]
+    g = Graph.from_rows(spark, cl1 + cl2 + [(9, 10)], directed=False)
+    out = multilevel_layout(g, n_thresh=5, fr_iter=15, seed=3)
+    pos = {r["id"]: (r["x"], r["y"]) for r in out.collect()}
+    assert len(pos) == 20
+    for x, y in pos.values():
+        assert 0.0 <= x <= 1.0 and 0.0 <= y <= 1.0
+
+    import itertools
+    import math
+    intra = [math.dist(pos[u], pos[v]) for u, v in cl1 + cl2]
+    inter = [math.dist(pos[u], pos[v])
+             for u, v in itertools.product(range(10), range(10, 20))
+             if (u, v) != (9, 10)]
+    assert sum(intra) / len(intra) < sum(inter) / len(inter)
+
+
+def test_maxent_stress_reduces_stress(spark):
+    """MaxentStress: the solve chain must reduce the k-hop stress
+    energy Σ_S w·(‖x_u−x_v‖−d)² below the random-circle start, keep
+    every vertex, and reject disconnected input."""
+    import math
+    from collections import deque
+
+    import pytest as _pytest
+
+    from networkit_spark.operators.layout import maxent_stress
+
+    cl1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cl2 = [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+    edges = cl1 + cl2 + [(4, 5)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    out = maxent_stress(g, k=2, max_solves_per_alpha=3,
+                        final_alpha=0.25, seed=9)
+    pos = {r["id"]: (r["x"], r["y"]) for r in out.collect()}
+    assert len(pos) == 10
+    assert all(math.isfinite(x) and math.isfinite(y)
+               for x, y in pos.values())
+
+    # python oracle: k=2 hop distances + the reference's init layout
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    S = {}
+    for s in adj:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            x = q.popleft()
+            if dist[x] >= 2:
+                continue
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for v, d in dist.items():
+            if d >= 1:
+                S[(s, v)] = d
+
+    def stress(p):
+        return sum((math.dist(p[u], p[v]) - d) ** 2 / (d * d)
+                   for (u, v), d in S.items()) / 2
+
+    # the operator's deterministic circle init (same hash law)
+    init = maxent_stress(g, k=2, max_solves_per_alpha=0,
+                         final_alpha=2.0, seed=9)
+    ipos = {r["id"]: (r["x"], r["y"]) for r in init.collect()}
+    assert stress(pos) < stress(ipos)
+
+    g2 = Graph.from_rows(spark, [(0, 1), (2, 3)], directed=False)
+    with _pytest.raises(ValueError, match="connected"):
+        maxent_stress(g2)
