@@ -154,3 +154,60 @@ def test_jacobi_relaxation_converges(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError):
         jacobi_relaxation(bad, bdf, iters=1)
+
+
+def test_lamg_solve_laplacian_matches_lstsq(spark):
+    """Multilevel (LAMG-role) solve on a connected Laplacian: residual
+    below tol and the zero-meaned solution matches numpy's minimum-norm
+    solve."""
+    import numpy as np
+
+    from networkit_spark.operators.numerics import (
+        lamg_solve, laplacian_matrix)
+
+    # ring of 24 + chords: connected, singular Laplacian
+    edges = [(i, (i + 1) % 24) for i in range(24)] + \
+        [(i, (i + 7) % 24) for i in range(0, 24, 3)]
+    g = Graph.from_rows(spark, edges, directed=False)
+    L = laplacian_matrix(g)
+    n = 24
+    bvec = np.array([(i % 5) - 2.0 for i in range(n)])
+    bvec -= bvec.mean()  # zero-sum: consistent for the Laplacian
+    b = spark.createDataFrame(
+        [(i, float(bvec[i])) for i in range(n)], "id long, val double")
+    # force a real hierarchy (coarsest below n)
+    x = lamg_solve(L, b, tol=1e-9, coarsest=6)
+    got = np.zeros(n)
+    for r in x.collect():
+        got[r["id"]] = r["val"]
+
+    A = np.zeros((n, n))
+    for r in L.collect():
+        A[r["row"], r["col"]] += r["val"]
+    want, *_ = np.linalg.lstsq(A, bvec, rcond=None)
+    assert np.linalg.norm(A @ got - bvec) < 1e-7 * max(
+        1.0, np.linalg.norm(bvec))
+    got -= got.mean()
+    want -= want.mean()
+    assert np.allclose(got, want, atol=1e-6)
+
+
+def test_lamg_solve_small_system_direct(spark):
+    """A system at or below the coarsest threshold short-circuits to
+    the dense driver solve — still exact."""
+    import numpy as np
+
+    from networkit_spark.operators.numerics import (
+        lamg_solve, laplacian_matrix)
+
+    g = Graph.from_rows(spark, [(0, 1), (1, 2), (2, 3)], directed=False)
+    L = laplacian_matrix(g)
+    b = spark.createDataFrame(
+        [(0, 1.0), (1, -1.0), (2, 1.0), (3, -1.0)], "id long, val double")
+    x = {r["id"]: r["val"] for r in lamg_solve(L, b).collect()}
+    A = np.zeros((4, 4))
+    for r in L.collect():
+        A[r["row"], r["col"]] += r["val"]
+    xv = np.array([x[i] for i in range(4)])
+    bv = np.array([1.0, -1.0, 1.0, -1.0])
+    assert np.linalg.norm(A @ xv - bv) < 1e-8
