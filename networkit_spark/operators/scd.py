@@ -213,7 +213,9 @@ def page_rank_nibble(g: Graph, seed: int, alpha: float = 0.15,
     from networkit_spark.plans.scratch import Scratch
 
     sc = Scratch(g.vertices.sparkSession, "nibble")
-    out = sc.cut(sw.filter(F.col("rank") <= k).select("id"))
+    out = sc.cut(sw.filter(F.col("rank") <= k).select("id")).persist()
+    out.count()
+    sc.cleanup()
     sw.unpersist()
     return out
 
