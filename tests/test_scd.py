@@ -114,6 +114,24 @@ def test_nibble_community_shape(spark, karate):
     assert cond < seed_cond
 
 
+def test_nibble_leaves_no_scratch_dir(spark, karate):
+    """The result must be materialized before the scratch cleanup so
+    gate sweeps don't accumulate nibble-* dirs under the state root
+    (and a post-cleanup action must not try to re-read deleted files)."""
+    import glob
+
+    from networkit_spark.plans.scratch import state_root
+
+    edges, _ = karate
+    g = Graph.from_rows(spark, edges, directed=False)
+    pattern = state_root().rstrip("/") + "/scratch/nibble-*"
+    before = set(glob.glob(pattern))
+    comm = page_rank_nibble(g, 33, ALPHA, EPS)
+    assert comm.count() > 0  # action AFTER cleanup still answers
+    assert set(glob.glob(pattern)) == before
+    comm.unpersist()
+
+
 def test_apr_rejects_directed(spark):
     g = Graph.from_rows(spark, [(0, 1), (1, 2)], directed=True)
     with pytest.raises(ValueError, match="undirected"):
