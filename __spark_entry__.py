@@ -994,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rounds covers all 82.
     return {
         # --- never driver-checked through round 4 (rotation block) ---
+        "harmonic_pps1": q_harmonic_pps1,
         "ecc_pps1": q_ecc_pps1,
         "hyperbolicity_pps1": q_hyperbolicity_pps1,
         "approx_betweenness_pps1": q_approx_betweenness_pps1,
@@ -1079,7 +1080,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "events_type_stats": q_events_type_stats,
         "events_top_users": q_events_top_users,
-        "harmonic_pps1": q_harmonic_pps1,
     }
 
 

@@ -82,6 +82,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--base", type=int, default=4,
                     help="N; the run compares local[N] vs local[4N]")
+    ap.add_argument("--attempts", type=int, default=1,
+                    help="repeat the pair this many times, alternating leg "
+                         "order; per-leg stats take the min across attempts "
+                         "(the uncontended estimate) with every raw attempt "
+                         "disclosed in the JSON")
     args = ap.parse_args()
 
     leftovers = subprocess.run(
@@ -92,14 +97,29 @@ def main() -> None:
               f"({leftovers}) — results will be contaminated", file=sys.stderr)
 
     levels = (args.base, args.base * 4)
-    results = {c: run_level(c, args.scale, args.iters) for c in levels}
-    r8, r32 = results[levels[0]], results[levels[1]]
+    results: dict[int, list] = {c: [] for c in levels}
+    for a in range(args.attempts):
+        order = levels if a % 2 == 0 else tuple(reversed(levels))
+        for c in order:
+            results[c].append(run_level(c, args.scale, args.iters))
+            print(f"attempt {a + 1}/{args.attempts} local[{c}]: "
+                  f"steady-min {min(results[c][-1]['walls'][2:]):.2f}s",
+                  file=sys.stderr)
+
+    # per-leg min across all attempts = the uncontended estimate (this
+    # sandbox carries unpredictable background load; see load_before/after
+    # of each attempt). Steady-state skips each JVM's first two supersteps
+    # (one-time coefficient build / vertex materialization).
+    def best(rs: list) -> dict:
+        return dict(t_pr=min(r["t_pr"] for r in rs),
+                    t_cc=min(r["t_cc"] for r in rs),
+                    ss=min(w for r in rs for w in r["walls"][2:]))
+
+    b8, b32 = best(results[levels[0]]), best(results[levels[1]])
+    r8, r32 = dict(results[levels[0]][0], **b8), dict(results[levels[1]][0], **b32)
     m, iters = r8["m"], args.iters
 
-    # min over steady-state supersteps = the uncontended estimate (this
-    # sandbox carries unpredictable background load; see load_before/after)
-    ss8 = min(r8["walls"][2:])
-    ss32 = min(r32["walls"][2:])
+    ss8, ss32 = b8["ss"], b32["ss"]
     eff_pr = (r8["t_pr"] / r32["t_pr"]) / 4
     eff_ss = (ss8 / ss32) / 4
     eff_cc = (r8["t_cc"] / r32["t_cc"]) / 4
@@ -128,11 +148,12 @@ on long-running jobs.
 | Connected components wall (s) | {r8['t_cc']:.1f} | {r32['t_cc']:.1f} | {eff_cc:.2f} |
 | CC edges/sec | {m/r8['t_cc']:,.0f} | {m/r32['t_cc']:,.0f} | — |
 
-Target (north rule): efficiency ≥ 0.8 between N and 4N. Per-superstep
-walls (s):
+Target (north rule): efficiency ≥ 0.8 between N and 4N.
+Per-superstep walls (s), every attempt ({args.attempts} attempt(s) per
+leg, alternating order; table takes per-leg min):
 
-- local[{levels[0]}]:  {[round(w, 2) for w in r8['walls']]}
-- local[{levels[1]}]: {[round(w, 2) for w in r32['walls']]}
+{chr(10).join(f"- local[{c}] attempt {i + 1}: {[round(w, 2) for w in r['walls']]}"
+              for c in levels for i, r in enumerate(results[c]))}
 
 Raw JSON:
 
