@@ -452,8 +452,11 @@ def update_approx_betweenness(g: Graph, state: dict,
         .cast("double").alias("w"))
     ins_dir = ins.union(ins.select(F.col("v").alias("u"),
                                    F.col("u").alias("v"), "w"))
-    # diagonal-normalized affected-source rule (see update_betweenness)
-    srcs = dist.select("s").distinct()
+    # diagonal-normalized affected-source rule (see update_betweenness).
+    # Diagonals come from SAMPLES, not dist: a sampled source that
+    # reached nothing has no d>=1 rows, yet an insert at that source
+    # must still flag it (its d(s,s)=0 row fires d(s,u)+w <= d(s,v)).
+    srcs = samples.select("s").distinct()
     diag = srcs.select("s", F.col("s").alias("v"), F.lit(0.0).alias("d"))
     dist_n = (dist.select("s", "v", F.col("d").cast("double").alias("d"))
               .union(diag).groupBy("s", "v").agg(F.min("d").alias("d")))

@@ -388,3 +388,42 @@ def test_dyn_approx_betweenness_noop_and_rejects_removal(spark):
         "type string, u long, v long, w double, t long")
     with pytest.raises(ValueError, match="insertions"):
         update_approx_betweenness(g, st, bad)
+
+
+def test_dyn_approx_betweenness_isolated_sampled_source(spark):
+    """Regression: a sampled source that reaches NOTHING has no d>=1
+    rows in the maintained dist table, so the affected-source diagonal
+    must be built from the SAMPLE set, not from dist — otherwise an
+    insert that first connects that source is never flagged and the
+    repaired state silently diverges from a fresh same-seed run."""
+    from networkit_spark.operators.betweenness import (
+        approx_betweenness_state)
+    from networkit_spark.streaming.dyn import update_approx_betweenness
+
+    edges = [(i, i + 1) for i in range(7)]
+    # n=9: vertex 8 is isolated but samplable
+    g = Graph.from_rows(spark, edges, directed=False, n=9)
+    st = seed = None
+    for cand in range(1, 30):
+        s_try = approx_betweenness_state(g, epsilon=0.4, delta=0.2,
+                                         seed=cand)
+        if s_try["samples"].filter("s = 8").count():
+            st, seed = s_try, cand
+            break
+    assert st is not None, "no seed sampled the isolated source"
+    assert st["dist"].filter("s = 8").count() == 0  # the trap precondition
+    ev = spark.createDataFrame(
+        [("EDGE_ADDITION", 8, 0, 1.0, 1)],
+        "type string, u long, v long, w double, t long")
+    g2, st2 = update_approx_betweenness(g, st, ev)
+    fresh = approx_betweenness_state(g2, epsilon=0.4, delta=0.2, seed=seed)
+    assert st2["r"] == fresh["r"], "vd bucket moved; fixture invalid"
+    assert (sorted((r["s"], r["v"], r["d"]) for r in st2["dist"].collect())
+            == sorted((r["s"], r["v"], r["d"])
+                      for r in fresh["dist"].collect()))
+    assert (sorted((r["i"], r["id"]) for r in st2["contribs"].collect())
+            == sorted((r["i"], r["id"])
+                      for r in fresh["contribs"].collect()))
+    gs = {r["id"]: r["score"] for r in st2["scores"].collect()}
+    ws = {r["id"]: r["score"] for r in fresh["scores"].collect()}
+    assert gs == ws
